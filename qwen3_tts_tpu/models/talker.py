@@ -1,0 +1,190 @@
+"""Talker LLM: Qwen3 28-layer transformer in embedding mode + TTS embedding
+surface (text_embedding + projection MLP, codec_embedding, codec_head).
+
+Reproduces the numerical contract of the reference talker server
+(/root/reference/dual_npu/llamacpp_talker_server.py):
+
+- runs on *embedding vectors*, not token ids; the consumed output is the
+  last-layer hidden state after the final RMSNorm (llama_wrapper.c:111-163);
+- text-side embeddings go through the projection MLP
+  Linear(2048->2048) + SiLU + Linear(2048->1024), with biases
+  (llamacpp_talker_server.py:115-119);
+- the dual-stream prefix sums a text-stream and a codec-stream embedding
+  at each position (llamacpp_talker_server.py:121-161).
+
+TPU-native: the prefix is built fully on device as a fixed-shape padded
+tensor (text length is padded to a bucket; the true length rides along as
+a scalar), so prefill is a single jitted program per bucket size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.config import (
+    ASSISTANT_TOKEN_ID,
+    CODEC_BOS_ID,
+    CODEC_NOTHINK_ID,
+    CODEC_PAD_ID,
+    CODEC_THINK_BOS_ID,
+    CODEC_THINK_EOS_ID,
+    IM_START_TOKEN_ID,
+    NEWLINE_TOKEN_ID,
+    TTS_BOS_TOKEN_ID,
+    TTS_EOS_TOKEN_ID,
+    TTS_PAD_TOKEN_ID,
+    TalkerConfig,
+)
+from qwen3_tts_tpu.models import transformer as tfm
+
+Params = Dict[str, jax.Array]
+
+# Number of prefix positions besides the N text tokens:
+# 3 role + 3 think + 1 transition + 1 tts_eos + 1 final codec_bos
+PREFIX_EXTRA = 9
+
+
+def init_talker_params(key: jax.Array, cfg: TalkerConfig,
+                       dtype=jnp.float32) -> Params:
+    """Random-init the full talker pytree (tests/bench; real weights via io)."""
+    geo = tfm.geometry_of(cfg)
+    ks = jax.random.split(key, 8)
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "layers": tfm.init_stack_params(ks[0], geo, dtype),
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+        # Embedding surface (extract_embeddings.py:47-70). Projection weights
+        # are stored (in, out) — transposed from the HF (out, in) layout.
+        "text_embedding": w(ks[1], (cfg.text_vocab_size, cfg.text_embed_dim)),
+        "proj_fc1_w": w(ks[2], (cfg.text_embed_dim, cfg.text_embed_dim)),
+        "proj_fc1_b": jnp.zeros((cfg.text_embed_dim,), dtype),
+        "proj_fc2_w": w(ks[3], (cfg.text_embed_dim, cfg.hidden_size)),
+        "proj_fc2_b": jnp.zeros((cfg.hidden_size,), dtype),
+        "codec_embedding": w(ks[4], (cfg.codec_vocab_size, cfg.hidden_size)),
+        # codec_head stored (hidden, vocab) so logits = hidden @ codec_head
+        "codec_head": w(ks[5], (cfg.hidden_size, cfg.codec_vocab_size)),
+    }
+
+
+def embed_text(params: Params, token_ids: jax.Array) -> jax.Array:
+    """text_embedding lookup + projection MLP (llamacpp_talker_server.py:115-119).
+
+    token_ids: (...,) int -> (..., hidden).
+    """
+    e = params["text_embedding"][token_ids]
+    h = jnp.dot(e, params["proj_fc1_w"],
+                preferred_element_type=jnp.float32) + params["proj_fc1_b"]
+    h = tfm.silu(h)
+    out = jnp.dot(h.astype(e.dtype), params["proj_fc2_w"],
+                  preferred_element_type=jnp.float32) + params["proj_fc2_b"]
+    return out.astype(e.dtype)
+
+
+def codec_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    """hidden (..., H) -> (..., codec_vocab)."""
+    return jnp.dot(hidden, params["codec_head"],
+                   preferred_element_type=jnp.float32)
+
+
+def build_prefix(
+    params: Params,
+    text_token_ids: jax.Array,  # (N_pad,) int32, padded with anything
+    n_text: jax.Array,          # scalar int32: true number of text tokens
+) -> Tuple[jax.Array, jax.Array]:
+    """Dual-stream prefix, fixed shape (N_pad + PREFIX_EXTRA, hidden).
+
+    Port of llamacpp_talker_server.py:121-161. Layout:
+      [0:3]   role: proj(text_emb([im_start, 77091, 198]))     (text only)
+      [3:6]   tts_pad + codec_emb([nothink, think_bos, think_eos])
+      [6]     tts_bos + codec_emb[pad]
+      [7:7+N] proj(text_token_i) + codec_emb[pad]
+      [7+N]   tts_eos + codec_emb[pad]
+      [8+N]   tts_pad + codec_emb[bos]
+
+    Padded variant: positions are laid out for the *padded* length; the
+    three tail positions (text rows, tts_eos, final) are placed by masking
+    so the result is exact for the true length. Returns
+    (prefix (P_pad, H), prefix_len scalar = n_text + PREFIX_EXTRA).
+    """
+    n_pad = text_token_ids.shape[0]
+    ce = params["codec_embedding"]
+
+    special = embed_text(
+        params,
+        jnp.array([TTS_PAD_TOKEN_ID, TTS_BOS_TOKEN_ID, TTS_EOS_TOKEN_ID]),
+    )
+    tts_pad_e, tts_bos_e, tts_eos_e = special[0], special[1], special[2]
+
+    role = embed_text(
+        params,
+        jnp.array([IM_START_TOKEN_ID, ASSISTANT_TOKEN_ID, NEWLINE_TOKEN_ID]),
+    )  # (3, H)
+    think = tts_pad_e[None, :] + ce[
+        jnp.array([CODEC_NOTHINK_ID, CODEC_THINK_BOS_ID, CODEC_THINK_EOS_ID])
+    ]  # (3, H)
+    transition = (tts_bos_e + ce[CODEC_PAD_ID])[None, :]  # (1, H)
+
+    text_e = embed_text(params, text_token_ids) + ce[CODEC_PAD_ID][None, :]  # (N_pad, H)
+
+    # Tail rows depend on the true length: row 7+n_text is tts_eos+pad and
+    # row 8+n_text is tts_pad+bos. Build a (N_pad+2, H) tail region where
+    # rows < n_text are text, row == n_text is eos, row == n_text+1 is final.
+    eos_row = tts_eos_e + ce[CODEC_PAD_ID]
+    final_row = tts_pad_e + ce[CODEC_BOS_ID]
+    tail_len = n_pad + 2
+    ridx = jnp.arange(tail_len)
+    text_pad2 = jnp.concatenate(
+        [text_e, jnp.zeros((2, text_e.shape[1]), text_e.dtype)], axis=0)
+    tail = jnp.where(
+        (ridx < n_text)[:, None], text_pad2,
+        jnp.where((ridx == n_text)[:, None], eos_row[None, :],
+                  jnp.where((ridx == n_text + 1)[:, None], final_row[None, :],
+                            jnp.zeros_like(text_pad2))))
+
+    prefix = jnp.concatenate([role, think, transition, tail], axis=0)
+    prefix_len = n_text.astype(jnp.int32) + PREFIX_EXTRA
+    return prefix.astype(text_e.dtype), prefix_len
+
+
+def prefill(
+    params: Params,
+    prefix: jax.Array,      # (B, P_pad, H)
+    prefix_len: jax.Array,  # (B,) true lengths
+    kv_cache: jax.Array,    # (L, 2, B, S, Hkv, Dh)
+    cfg: TalkerConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill: returns (hidden at last real position after final norm (B, H),
+    updated kv_cache). Mirrors llm.get_hidden(prefix, keep_history=0)
+    (llama_cpp_bindings.py:136-138 -> llama_wrapper.c:125-163)."""
+    geo = tfm.geometry_of(cfg)
+    B, P, _ = prefix.shape
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    mask = tfm.causal_mask(B, P, prefix_len)
+    h, kv = tfm.forward_prefill(params["layers"], prefix, positions, mask,
+                                geo, kv_cache)
+    h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(
+        h, (prefix_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return last, kv
+
+
+def decode_step(
+    params: Params,
+    feedback: jax.Array,   # (B, H) feedback embedding
+    pos: jax.Array,        # (B,) write positions
+    kv_cache: jax.Array,
+    cfg: TalkerConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """One talker decode step on a feedback embedding; returns final-norm
+    hidden (B, H) and the updated cache. Mirrors
+    llm.get_hidden(feedback, keep_history=1)."""
+    geo = tfm.geometry_of(cfg)
+    h, kv = tfm.decode_step(params["layers"], feedback, pos, kv_cache, geo)
+    h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, kv

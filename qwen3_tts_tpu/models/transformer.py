@@ -1,0 +1,298 @@
+"""Pure-function Qwen3 transformer blocks (shared by talker and code predictor).
+
+TPU-native design notes
+-----------------------
+- Parameters are plain pytrees (dicts of jnp arrays) with all per-layer
+  tensors *stacked along a leading layer axis* so the layer loop is a
+  single ``lax.scan`` — one trace, one compile, MXU-friendly.
+- Everything is batched: shapes carry a leading batch dim ``B`` so the
+  same code serves batch=1 CLI synthesis and continuous-batching serving.
+- The KV cache is a preallocated, fixed-shape array updated with
+  ``lax.dynamic_update_slice`` — no dynamic shapes anywhere, so the whole
+  decode loop stays inside one XLA program.
+- Weight matrices are stored **(in_features, out_features)** so the hot
+  path is always ``x @ W`` (HF checkpoints store (out, in); the loader
+  transposes once at load time).
+
+Numerical contract reproduced from the reference implementation
+(/root/reference): Qwen3 geometry with GQA 16/8 heads, head_dim 128,
+per-head QK-RMSNorm before RoPE, RoPE theta=1e6, SwiGLU MLP, RMSNorm
+eps=1e-6 (scripts/extract_talker_as_qwen3.py:89-110,
+scripts/export_code_predictor_weights.py:51-70).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Elementary blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32, cast back to input dtype (HF Qwen3RMSNorm semantics)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * weight.astype(jnp.float32)).astype(dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for given positions, HF 'rotate_half' convention.
+
+    positions: int array of any shape ``(...)``; returns cos/sin of shape
+    ``(..., head_dim)`` where the two halves repeat the same frequencies.
+    """
+    half = head_dim // 2
+    freq_idx = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = 1.0 / (theta ** (freq_idx / half))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., half)
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(dtype)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(dtype)
+    return cos, sin
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (..., heads, head_dim); cos/sin: broadcastable (..., 1, head_dim)."""
+    xf = x.astype(jnp.float32)
+    out = xf * cos + rotate_half(xf) * sin
+    return out.astype(x.dtype)
+
+
+def swiglu_mlp(x: jax.Array, gate_w: jax.Array, up_w: jax.Array,
+               down_w: jax.Array) -> jax.Array:
+    """SwiGLU: down( silu(x@gate) * (x@up) )."""
+    g = jnp.dot(x, gate_w, preferred_element_type=jnp.float32)
+    u = jnp.dot(x, up_w, preferred_element_type=jnp.float32)
+    h = (silu(g) * u).astype(x.dtype)
+    return jnp.dot(h, down_w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Geometry carrier (static)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TransformerGeometry:
+    num_layers: int
+    hidden_size: int
+    intermediate_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float
+    rope_theta: float
+
+    @property
+    def q_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+def geometry_of(cfg) -> TransformerGeometry:
+    """Extract the shared geometry from TalkerConfig / CodePredictorConfig."""
+    return TransformerGeometry(
+        num_layers=cfg.num_layers, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_heads=cfg.num_heads,
+        num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation (random; real weights come from io/weights.py)
+# ---------------------------------------------------------------------------
+
+def init_stack_params(key: jax.Array, geo: TransformerGeometry,
+                      dtype=jnp.float32, scale: float = 0.02) -> Params:
+    """Random-init a stacked layer pytree (for tests / benchmarks)."""
+    L, H, I = geo.num_layers, geo.hidden_size, geo.intermediate_size
+    QD, KVD, Dh = geo.num_heads * geo.head_dim, geo.num_kv_heads * geo.head_dim, geo.head_dim
+    ks = jax.random.split(key, 7)
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "input_ln": jnp.ones((L, H), dtype),
+        "q_proj": w(ks[0], (L, H, QD)),
+        "k_proj": w(ks[1], (L, H, KVD)),
+        "v_proj": w(ks[2], (L, H, KVD)),
+        "o_proj": w(ks[3], (L, QD, H)),
+        "q_norm": jnp.ones((L, Dh), dtype),
+        "k_norm": jnp.ones((L, Dh), dtype),
+        "post_ln": jnp.ones((L, H), dtype),
+        "gate_proj": w(ks[4], (L, H, I)),
+        "up_proj": w(ks[5], (L, H, I)),
+        "down_proj": w(ks[6], (L, I, H)),
+    }
+
+
+def init_kv_cache(geo: TransformerGeometry, batch: int, max_seq: int,
+                  dtype=jnp.float32) -> jax.Array:
+    """KV cache [L, 2, B, S, Hkv, Dh]."""
+    return jnp.zeros(
+        (geo.num_layers, 2, batch, max_seq, geo.num_kv_heads, geo.head_dim),
+        dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def _qkv(layer: Params, x: jax.Array, geo: TransformerGeometry,
+         cos: jax.Array, sin: jax.Array):
+    """Project + per-head QK-RMSNorm + RoPE.
+
+    x: (B, T, H). Returns q (B, T, Hq, Dh), k/v (B, T, Hkv, Dh).
+    QK-norm before RoPE matches HF Qwen3Attention.
+    """
+    B, T, _ = x.shape
+    q = jnp.dot(x, layer["q_proj"], preferred_element_type=jnp.float32)
+    k = jnp.dot(x, layer["k_proj"], preferred_element_type=jnp.float32)
+    v = jnp.dot(x, layer["v_proj"], preferred_element_type=jnp.float32)
+    q = q.astype(x.dtype).reshape(B, T, geo.num_heads, geo.head_dim)
+    k = k.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
+    v = v.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
+    q = rms_norm(q, layer["q_norm"], geo.rms_norm_eps)
+    k = rms_norm(k, layer["k_norm"], geo.rms_norm_eps)
+    # cos/sin: (B, T, Dh) -> broadcast over heads
+    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+    return q, k, v
+
+
+def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: jax.Array, geo: TransformerGeometry) -> jax.Array:
+    """Grouped-query attention.
+
+    q: (B, Tq, Hq, Dh); k/v: (B, Tk, Hkv, Dh);
+    mask: (B, Tq, Tk) bool (True = attend). Returns (B, Tq, Hq*Dh).
+    """
+    B, Tq = q.shape[0], q.shape[1]
+    Tk = k.shape[1]
+    G = geo.q_groups
+    qg = q.reshape(B, Tq, geo.num_kv_heads, G, geo.head_dim)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(geo.head_dim).astype(jnp.float32)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(B, Tq, geo.num_heads * geo.head_dim)
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (prefill) — scan over layers
+# ---------------------------------------------------------------------------
+
+def forward_prefill(
+    params: Params,
+    x: jax.Array,                # (B, P, H) input embeddings
+    positions: jax.Array,        # (B, P) int32
+    attn_mask: jax.Array,        # (B, P, P) bool
+    geo: TransformerGeometry,
+    kv_cache: Optional[jax.Array] = None,  # (L, 2, B, S, Hkv, Dh)
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Run all layers over a full (padded) sequence, filling kv_cache[:, :, :, :P].
+
+    Returns (hidden (B, P, H) after all layers but BEFORE the final norm,
+    updated kv_cache).
+    """
+    cos, sin = rope_cos_sin(positions, geo.head_dim, geo.rope_theta)
+    P = x.shape[1]
+
+    def layer_fn(h, xs):
+        layer, kv_l = xs
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn, geo, cos, sin)
+        attn = gqa_attention(q, k, v, attn_mask, geo)
+        attn = jnp.dot(attn, layer["o_proj"],
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
+                           layer["down_proj"])
+        if kv_l is not None:
+            kv_l = jax.lax.dynamic_update_slice(
+                kv_l, jnp.stack([k, v]).astype(kv_l.dtype), (0, 0, 0, 0, 0))
+            # kv_l: (2, B, S, Hkv, Dh); new k/v occupy [:, :, :P]
+        return h, kv_l
+
+    if kv_cache is not None:
+        h, new_kv = jax.lax.scan(layer_fn, x, (params, kv_cache))
+        return h, new_kv
+    h, _ = jax.lax.scan(lambda c, l: layer_fn(c, (l, None)), x, params)
+    return h, None
+
+
+def causal_mask(batch: int, seq_len: int, lengths: jax.Array) -> jax.Array:
+    """(B, P, P) bool: causal AND key-position < length (padding masked)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    causal = j <= i                                    # (P, P)
+    valid = jnp.arange(seq_len)[None, :] < lengths[:, None]  # (B, P)
+    return causal[None, :, :] & valid[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Single-token decode step — scan over layers, KV-cache read/write
+# ---------------------------------------------------------------------------
+
+def decode_step(
+    params: Params,
+    x: jax.Array,          # (B, H) new-token embedding
+    pos: jax.Array,        # (B,) int32 write position (== tokens so far)
+    kv_cache: jax.Array,   # (L, 2, B, S, Hkv, Dh)
+    geo: TransformerGeometry,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step over all layers. Returns (hidden (B, H), new kv)."""
+    B = x.shape[0]
+    S = kv_cache.shape[3]
+    cos, sin = rope_cos_sin(pos[:, None], geo.head_dim, geo.rope_theta)  # (B,1,Dh)
+    key_valid = jnp.arange(S)[None, :] <= pos[:, None]      # (B, S)
+    mask = key_valid[:, None, :]                            # (B, 1, S)
+
+    def layer_fn(h, xs):
+        layer, kv_l = xs
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn[:, None, :], geo, cos, sin)  # T=1
+        # write new k/v at per-batch position pos
+        new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(kv_l.dtype)  # (2, B, Hkv, Dh)
+        b_idx = jnp.arange(B)
+        kv_l = kv_l.at[:, b_idx, pos].set(new_kv)
+        k_all = kv_l[0]  # (B, S, Hkv, Dh)
+        v_all = kv_l[1]
+        attn = gqa_attention(q, k_all, v_all, mask, geo)      # (B, 1, Hq*Dh)
+        attn = jnp.dot(attn[:, 0], layer["o_proj"],
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
+                           layer["down_proj"])
+        return h, kv_l
+
+    h, new_kv = jax.lax.scan(layer_fn, x, (params, kv_cache))
+    return h, new_kv

@@ -1,0 +1,94 @@
+"""CLI: preserves the reference client's flag surface
+(dual_npu/tts_client.py:274-300) plus engine options.
+
+Usage:
+  python -m qwen3_tts_tpu.cli "Привет, как дела?"
+  python -m qwen3_tts_tpu.cli --text "Привет" --language russian \
+      --output output.wav --streaming
+  python -m qwen3_tts_tpu.cli "..." --model_dir /path/to/hf_checkpoint
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Qwen3-TTS (TPU-native)")
+    p.add_argument("text", nargs="?", default=None)
+    p.add_argument("--text", dest="text_flag", default=None)
+    p.add_argument("--language", default="russian")
+    p.add_argument("--output", default="output.wav")
+    p.add_argument("--streaming", action="store_true",
+                   help="Chunked vocoder overlapped with generation")
+    p.add_argument("--model_dir", default=None,
+                   help="HF checkpoint dir (model.safetensors); random "
+                        "weights if omitted")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_tokens", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="Tiny geometry (CPU smoke tests)")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu", "tpu"],
+                   help="Force a JAX backend (the JAX_PLATFORMS env var is "
+                        "overridden by site config in some environments; "
+                        "this flag always works)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    text = args.text or args.text_flag
+    if not text:
+        text = "Привет, как дела? Сегодня хорошая погода для прогулки."
+
+    import dataclasses
+
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+
+    cfg = tiny_tts_config(max_tokens=32) if args.tiny else TTSConfig()
+    if args.max_tokens is not None:
+        cfg = dataclasses.replace(cfg, max_tokens=args.max_tokens)
+    sampling = cfg.sampling
+    if args.temperature is not None:
+        sampling = dataclasses.replace(sampling, temperature=args.temperature)
+    if args.top_k is not None:
+        sampling = dataclasses.replace(sampling, top_k=args.top_k)
+    cfg = dataclasses.replace(cfg, sampling=sampling)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    print(f"Text: '{text}'")
+    print(f"Language: {args.language}")
+    engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
+                       seed=args.seed)
+    res = engine.synthesize(text, language=args.language,
+                            output=args.output, streaming=args.streaming,
+                            seed=args.seed)
+    if res.n_tokens == 0:
+        print("No tokens generated!")
+        return 1
+    print(f"Generated {res.n_tokens} tokens")
+    stages = ", ".join(f"{k}={v:.2f}s" for k, v in res.timings.items())
+    print(f"Stages: {stages}")
+    if res.first_audio_seconds is not None:
+        print(f"First audio: {res.first_audio_seconds:.3f}s")
+    print(f"Audio: {res.audio_seconds:.2f}s, saved to {args.output}")
+    print(f"Total: {res.total_seconds:.1f}s (RTF={res.rtf:.2f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""The fused decode loop — talker step + code-predictor scan + feedback,
+all inside one ``lax.while_loop`` with zero host round-trips per token.
+
+The reference pays 4 process hops per generated token (talker->client,
+client->CP, CP->client, client->talker; SURVEY call stack 3.2) and 86% of
+its per-token time in the code predictor (docs/ARCHITECTURE.md:104-107).
+Here the whole feedback recursion is one XLA program:
+
+    hidden ── sample code_0 ──► CP prefill(2) + scan(14) ──► codes 1..15
+       ▲                                                        │
+       └── talker decode step ◄── feedback = Σ 16 embeds + tts_pad
+
+Feedback formula (reference dual_npu/tts_client.py:199-211):
+    codec_embedding[code_0] + Σ_{g=1..15} cp_codec_emb[g-1][code_g]
+    + tts_pad_embed.
+
+Everything is batched (B requests decode in lockstep; finished elements
+freeze) so the same program drives batch=1 CLI synthesis and the
+continuous-batching daemon.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.config import (
+    CODEC_EOS_ID,
+    NUM_AUDIO_CODES,
+    TTS_PAD_TOKEN_ID,
+    TTSConfig,
+)
+from qwen3_tts_tpu.models import code_predictor as cp
+from qwen3_tts_tpu.models import talker as tk
+from qwen3_tts_tpu.models import transformer as tfm
+from qwen3_tts_tpu.ops import sampling as smp
+
+Params = Dict[str, jax.Array]
+
+
+class GenState(NamedTuple):
+    """Carry of the decode loop (a pytree; all fixed shapes)."""
+
+    kv: jax.Array        # talker KV cache (L, 2, B, S, Hkv, Dh)
+    pos: jax.Array       # (B,) next talker write position
+    hidden: jax.Array    # (B, H) last talker hidden (post final-norm)
+    ring: jax.Array      # (B, W) last code_0 window (-1 empty)
+    n_codes: jax.Array   # (B,) codes generated per element
+    done: jax.Array      # (B,) bool
+    codes: jax.Array     # (B, T_max, 16) int32 output buffer
+    n_text: jax.Array    # (B,) text-token counts (for EOS boost)
+    step: jax.Array      # scalar: loop iterations done
+    key: jax.Array       # PRNG key
+
+
+def init_state(
+    talker_params: Params,
+    prefix: jax.Array,       # (B, P_pad, H)
+    prefix_len: jax.Array,   # (B,)
+    n_text: jax.Array,       # (B,)
+    key: jax.Array,
+    cfg: TTSConfig,
+    kv_dtype=None,
+) -> GenState:
+    """Prefill the talker and build the initial loop state."""
+    B = prefix.shape[0]
+    tcfg = cfg.talker
+    geo = tfm.geometry_of(tcfg)
+    kv = tfm.init_kv_cache(geo, B, tcfg.max_seq_len,
+                           dtype=kv_dtype or prefix.dtype)
+    hidden, kv = tk.prefill(talker_params, prefix, prefix_len, kv, tcfg)
+    W = cfg.sampling.repetition_window
+    return GenState(
+        kv=kv,
+        pos=prefix_len.astype(jnp.int32),
+        hidden=hidden,
+        ring=jnp.full((B, W), -1, jnp.int32),
+        n_codes=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+        codes=jnp.zeros((B, cfg.max_tokens, 16), jnp.int32),
+        n_text=n_text.astype(jnp.int32),
+        step=jnp.int32(0),
+        key=key,
+    )
+
+
+def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
+               tts_pad_embed: jax.Array, cfg: TTSConfig) -> GenState:
+    B = state.hidden.shape[0]
+    scfg = cfg.sampling
+    key, k_c0, k_cp = jax.random.split(state.key, 3)
+
+    # 1. sample code_0 from the current hidden
+    logits = tk.codec_logits(talker_params, state.hidden)  # (B, Vc)
+    c0_keys = jax.random.split(k_c0, B)
+    code0 = jax.vmap(
+        lambda lg, rg, st, nt, kk: smp.sample_code0(lg, rg, st, nt, kk, scfg)
+    )(logits, state.ring, state.n_codes, state.n_text, c0_keys)  # (B,)
+
+    is_eos = (code0 == CODEC_EOS_ID) | (code0 >= NUM_AUDIO_CODES)
+    active = ~state.done & ~is_eos          # elements producing a token now
+    new_done = state.done | is_eos
+
+    # 2. code predictor: groups 1..15 (always computed; masked commit)
+    code0_safe = jnp.where(active, code0, 0)
+    c0_embed = talker_params["codec_embedding"][code0_safe]      # (B, H)
+    groups = cp.predict_codes(cp_params, state.hidden, c0_embed, k_cp,
+                              cfg.code_predictor, scfg)          # (B, 15)
+
+    # 3. feedback embedding
+    fb = (c0_embed
+          + jnp.sum(cp_params["codec_embs"][jnp.arange(15)[None, :], groups],
+                    axis=1)
+          + tts_pad_embed[None, :]).astype(state.hidden.dtype)
+
+    # 4. talker decode step (frozen elements rewrite their slot harmlessly)
+    new_hidden, new_kv = tk.decode_step(talker_params, fb, state.pos,
+                                        state.kv, cfg.talker)
+
+    # 5. commit results for active elements only
+    b_idx = jnp.arange(B)
+    row = jnp.concatenate([code0_safe[:, None], groups], axis=1)  # (B, 16)
+    write_idx = jnp.where(active, state.n_codes, cfg.max_tokens - 1)
+    codes = jnp.where(
+        active[:, None, None],
+        state.codes.at[b_idx, write_idx].set(row),
+        state.codes)
+
+    return GenState(
+        kv=new_kv,
+        pos=jnp.where(active, state.pos + 1, state.pos),
+        hidden=jnp.where(active[:, None], new_hidden, state.hidden),
+        ring=jnp.where(active[:, None],
+                       jax.vmap(smp.ring_push)(state.ring, code0_safe),
+                       state.ring),
+        n_codes=state.n_codes + active.astype(jnp.int32),
+        done=new_done,
+        codes=codes,
+        n_text=state.n_text,
+        step=state.step + 1,
+        key=key,
+    )
+
+
+def run_steps(
+    talker_params: Params,
+    cp_params: Params,
+    state: GenState,
+    cfg: TTSConfig,
+    max_steps: int,
+) -> GenState:
+    """Advance the fused loop by up to ``max_steps`` (static bound); exits
+    early once every batch element has hit EOS."""
+    tts_pad_embed = tk.embed_text(
+        talker_params, jnp.array([TTS_PAD_TOKEN_ID]))[0]
+    stop_step = state.step + max_steps
+
+    def cond(s: GenState):
+        return jnp.any(~s.done) & (s.step < stop_step) & (
+            s.step < cfg.max_tokens)
+
+    def body(s: GenState):
+        return _loop_body(s, talker_params, cp_params, tts_pad_embed, cfg)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def generate(
+    talker_params: Params,
+    cp_params: Params,
+    prefix: jax.Array,
+    prefix_len: jax.Array,
+    n_text: jax.Array,
+    key: jax.Array,
+    cfg: TTSConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full synthesis decode: returns (codes (B, T_max, 16), n_codes (B,)).
+
+    Jit with ``static_argnums`` on cfg (it is hashable) or close over it.
+    """
+    state = init_state(talker_params, prefix, prefix_len, n_text, key, cfg)
+    state = run_steps(talker_params, cp_params, state, cfg, cfg.max_tokens)
+    return state.codes, state.n_codes

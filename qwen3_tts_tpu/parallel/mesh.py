@@ -1,0 +1,133 @@
+"""Device mesh + sharding rules for multi-chip serving.
+
+The reference is a single-device, single-request system (SURVEY §2,
+parallelism table). The TPU build adds first-class data/tensor parallelism
+for the daemon-serving config: requests are batch-sharded over ``dp`` and
+the talker/CP weights are Megatron-style tensor-sharded over ``tp`` so the
+per-step collectives (an all-reduce after o_proj and down_proj, inserted
+by XLA from the shardings) ride the ICI.
+
+Everything is expressed as ``PartitionSpec`` trees consumed by ``jax.jit``
+``in_shardings`` — no hand-written collectives; GSPMD propagates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qwen3_tts_tpu.config import TTSConfig
+
+DP, TP = "dp", "tp"
+
+
+def make_mesh(dp: int, tp: int,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) < dp * tp:
+        raise ValueError(f"need {dp * tp} devices, have {len(devs)}")
+    grid = np.asarray(devs[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, (DP, TP))
+
+
+# ---------------------------------------------------------------------------
+# Parameter shardings
+# ---------------------------------------------------------------------------
+
+def layer_stack_spec() -> Dict[str, P]:
+    """Specs for the stacked transformer layer pytree (leading dim = layer).
+
+    Column-parallel (out-dim sharded): q/k/v, gate/up.
+    Row-parallel (in-dim sharded):     o_proj, down_proj.
+    Norm vectors replicated.
+    """
+    return {
+        "input_ln": P(),
+        "q_proj": P(None, None, TP),
+        "k_proj": P(None, None, TP),
+        "v_proj": P(None, None, TP),
+        "o_proj": P(None, TP, None),
+        "q_norm": P(),
+        "k_norm": P(),
+        "post_ln": P(),
+        "gate_proj": P(None, None, TP),
+        "up_proj": P(None, None, TP),
+        "down_proj": P(None, TP, None),
+    }
+
+
+def talker_param_spec() -> Dict:
+    return {
+        "layers": layer_stack_spec(),
+        "final_norm": P(),
+        "text_embedding": P(TP, None),   # vocab-sharded (1.2 GB table)
+        "proj_fc1_w": P(None, TP),
+        "proj_fc1_b": P(TP),
+        "proj_fc2_w": P(TP, None),
+        "proj_fc2_b": P(),
+        "codec_embedding": P(),          # small; replicated for gathers
+        "codec_head": P(None, TP),       # vocab-sharded logits
+    }
+
+
+def cp_param_spec() -> Dict:
+    return {
+        "layers": layer_stack_spec(),
+        "final_norm": P(),
+        "mtp_proj_w": P(None, TP),
+        "mtp_proj_b": P(TP),
+        "codec_embs": P(),               # gathered per sampled token
+        "lm_heads": P(None, None, TP),   # per-group vocab-sharded
+    }
+
+
+def vocoder_param_spec(params) -> Dict:
+    """Vocoder weights are small (~100 MB fp32): replicate everything."""
+    return jax.tree.map(lambda _: P(), params)
+
+
+def param_shardings(mesh: Mesh, params: Dict) -> Dict:
+    """NamedShardings for the full parameter bundle."""
+    specs = {
+        "talker": talker_param_spec(),
+        "code_predictor": cp_param_spec(),
+    }
+    if "vocoder" in params:
+        specs["vocoder"] = vocoder_param_spec(params["vocoder"])
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+# ---------------------------------------------------------------------------
+# Activation / state shardings
+# ---------------------------------------------------------------------------
+
+def kv_cache_spec() -> P:
+    """(L, 2, B, S, Hkv, Dh): batch over dp, kv heads over tp."""
+    return P(None, None, DP, None, TP, None)
+
+
+def gen_state_spec(cfg: TTSConfig):
+    """PartitionSpec tree matching engine.generate.GenState."""
+    from qwen3_tts_tpu.engine.generate import GenState
+    return GenState(
+        kv=kv_cache_spec(),
+        pos=P(DP),
+        hidden=P(DP, None),
+        ring=P(DP, None),
+        n_codes=P(DP),
+        done=P(DP),
+        codes=P(DP, None, None),
+        n_text=P(DP),
+        step=P(),
+        key=P(),
+    )
+
+
+def shard_params(mesh: Mesh, params: Dict) -> Dict:
+    """Device-put the parameter bundle with its shardings."""
+    sh = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, sh)

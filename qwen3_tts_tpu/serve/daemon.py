@@ -1,0 +1,194 @@
+"""Daemon mode: persistent synthesis server on a Unix socket.
+
+Preserves the reference's --daemon semantics (launch_qwen3_tts.sh:195-200:
+servers stay resident, clients connect per request) with one process and
+one socket instead of three. The accept/framing loop is native C++
+(native/ttsrt.cc, the equivalent of the reference servers' socket plumbing)
+with a pure-Python fallback.
+
+Protocol (little-endian, framing in the style of the reference's
+talker protocol header, llamacpp_talker_server.py:13-27):
+  request:  [u32 len][JSON {"text", "language", "streaming", "seed",
+                            "max_tokens"}]
+  response: [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens",
+                "rtf", "total_seconds", "error"?}][int16 audio...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+from qwen3_tts_tpu.engine.engine import TTSEngine
+
+DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
+
+
+def encode_response(header: dict, audio_int16: Optional[np.ndarray]) -> bytes:
+    hdr = json.dumps(header).encode()
+    body = audio_int16.astype("<i2").tobytes() if audio_int16 is not None else b""
+    return struct.pack("<I", len(hdr)) + hdr + body
+
+
+def decode_response(payload: bytes):
+    hdr_len = struct.unpack("<I", payload[:4])[0]
+    header = json.loads(payload[4:4 + hdr_len].decode())
+    audio = np.frombuffer(payload[4 + hdr_len:], dtype="<i2")
+    return header, audio
+
+
+class TTSDaemon:
+    def __init__(self, engine: TTSEngine,
+                 socket_path: str = DEFAULT_SOCKET):
+        self.engine = engine
+        self.socket_path = socket_path
+        self._stop = threading.Event()
+
+    # -- request handling ---------------------------------------------------
+
+    def handle(self, req: bytes) -> bytes:
+        try:
+            msg = json.loads(req.decode())
+            text = msg.get("text", "")
+            if not text:
+                return encode_response({"error": "empty text"}, None)
+            res = self.engine.synthesize(
+                text,
+                language=msg.get("language", "russian"),
+                streaming=bool(msg.get("streaming", False)),
+                seed=int(msg.get("seed", 0)),
+            )
+            header = {
+                "n_samples": int(len(res.audio_int16)),
+                "n_tokens": int(res.n_tokens),
+                "rtf": float(res.rtf),
+                "total_seconds": float(res.total_seconds),
+            }
+            return encode_response(header, res.audio_int16)
+        except Exception as e:  # error sentinel semantics
+            return encode_response({"error": str(e)}, None)
+
+    # -- serve loops --------------------------------------------------------
+
+    def serve(self, native_loop: bool = True) -> None:
+        """Blocks until stop(). Uses the C++ accept loop when available."""
+        from qwen3_tts_tpu.runtime import native
+        if native_loop and native.available():
+            native.serve_unix(self.socket_path, self.handle)
+            return
+        self._serve_python()
+
+    def _serve_python(self) -> None:
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.bind(self.socket_path)
+        sock.listen(8)
+        sock.settimeout(1.0)
+        os.chmod(self.socket_path, 0o666)
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = sock.accept()
+                except socket.timeout:
+                    continue
+                try:
+                    raw = _recv_exact(conn, 4)
+                    if raw is None:
+                        continue
+                    n = struct.unpack("<I", raw)[0]
+                    req = _recv_exact(conn, n)
+                    if req is None:
+                        continue
+                    resp = self.handle(req)
+                    conn.sendall(struct.pack("<I", len(resp)) + resp)
+                finally:
+                    conn.close()
+        finally:
+            sock.close()
+            if os.path.exists(self.socket_path):
+                os.unlink(self.socket_path)
+
+    def stop(self) -> None:
+        self._stop.set()
+        from qwen3_tts_tpu.runtime import native
+        native.serve_stop()
+
+
+def _recv_exact(conn, n: int) -> Optional[bytes]:
+    data = b""
+    while len(data) < n:
+        chunk = conn.recv(n - len(data))
+        if not chunk:
+            return None
+        data += chunk
+    return data
+
+
+class DaemonClient:
+    """Client for TTSDaemon (the tts_client.py analog for daemon mode)."""
+
+    def __init__(self, socket_path: str = DEFAULT_SOCKET):
+        self.socket_path = socket_path
+
+    def synthesize(self, text: str, language: str = "russian",
+                   streaming: bool = False, seed: int = 0):
+        msg = json.dumps({"text": text, "language": language,
+                          "streaming": streaming, "seed": seed}).encode()
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(self.socket_path)
+        try:
+            c.sendall(struct.pack("<I", len(msg)) + msg)
+            raw = _recv_exact(c, 4)
+            n = struct.unpack("<I", raw)[0]
+            payload = _recv_exact(c, n)
+        finally:
+            c.close()
+        header, audio = decode_response(payload)
+        if "error" in header:
+            raise RuntimeError(header["error"])
+        return header, audio
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Qwen3-TTS TPU daemon")
+    p.add_argument("--socket", default=DEFAULT_SOCKET)
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu", "tpu"])
+    p.add_argument("--python_loop", action="store_true",
+                   help="Use the pure-Python accept loop")
+    args = p.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
+
+    cfg = tiny_tts_config(max_tokens=32) if args.tiny else TTSConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype)
+    # warm the compile caches before accepting requests
+    engine.synthesize("warmup", language="english", seed=0)
+    daemon = TTSDaemon(engine, args.socket)
+    print(f"TTS daemon listening on {args.socket}", flush=True)
+    daemon.serve(native_loop=not args.python_loop)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""Daemon serving tests: request/response framing end-to-end over the real
+Unix socket (both the native C++ accept loop and the Python fallback)."""
+
+import threading
+import time
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.config import tiny_tts_config
+from qwen3_tts_tpu.engine.engine import TTSEngine
+from qwen3_tts_tpu.serve.daemon import DaemonClient, TTSDaemon
+from qwen3_tts_tpu.runtime import native
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return TTSEngine(tiny_tts_config(max_tokens=8), model_dir=None,
+                     dtype=jnp.float32)
+
+
+def _run_daemon(engine, sock_path, native_loop):
+    daemon = TTSDaemon(engine, sock_path)
+    t = threading.Thread(target=daemon.serve,
+                         kwargs={"native_loop": native_loop}, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock_path) and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.path.exists(sock_path), "daemon socket never appeared"
+    return daemon, t
+
+
+@pytest.mark.parametrize("native_loop", [False, True])
+def test_daemon_roundtrip(engine, tmp_path, native_loop):
+    if native_loop and not native.available():
+        pytest.skip("libttsrt not built")
+    sock = str(tmp_path / f"tts_{native_loop}.sock")
+    daemon, t = _run_daemon(engine, sock, native_loop)
+    try:
+        client = DaemonClient(sock)
+        header, audio = client.synthesize("hello", language="english", seed=1)
+        assert header["n_tokens"] > 0
+        assert header["n_samples"] == len(audio)
+        assert header["n_samples"] == header["n_tokens"] * 1920
+        assert audio.dtype == np.int16
+
+        # error path: bad language -> error header, no crash
+        with pytest.raises(RuntimeError):
+            client.synthesize("x", language="klingon")
+
+        # daemon still alive after the error
+        header2, _ = client.synthesize("again", language="russian", seed=2)
+        assert header2["n_tokens"] > 0
+    finally:
+        daemon.stop()
+        t.join(timeout=5)

@@ -17,6 +17,7 @@ reference's background vocoder threads (tts_client.py:189-197).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Dict, List, Optional
@@ -71,35 +72,60 @@ class TTSEngine:
     def __init__(self, cfg: Optional[TTSConfig] = None,
                  model_dir: Optional[str] = None,
                  dtype=jnp.bfloat16, seed: int = 0,
-                 params: Optional[Dict] = None):
+                 params: Optional[Dict] = None,
+                 quantize: Optional[str] = None):
         self.cfg = cfg or TTSConfig()
         self.params = params if params is not None else weights_io.load_params(
             model_dir, self.cfg, dtype, seed)
+        if quantize == "int8":
+            # weight-only int8 for talker + CP (the reference's GGUF
+            # Q4_K_M / Q4_0 tier; vocoder stays FP32 — ops/quant.py)
+            from qwen3_tts_tpu.ops import quant as quant_ops
+            self.params["talker"] = quant_ops.quantize_talker(
+                self.params["talker"])
+            self.params["code_predictor"] = quant_ops.quantize_code_predictor(
+                self.params["code_predictor"])
+        elif quantize is not None:
+            raise ValueError(f"unsupported quantize={quantize!r}")
+        self.quantize = quantize
         self.tokenizer = load_tokenizer(model_dir)
 
         c = self.cfg
-
-        def _generate_fn(tp, cpp, text_ids, n_text, key):
-            prefix, plen = tk.build_prefix(tp, text_ids, n_text)
-            prefix = prefix.astype(tp["codec_embedding"].dtype)
-            return gen.generate(tp, cpp, prefix[None], plen[None],
-                                n_text[None], key, c)
-
-        # one compiled program per text-length bucket (cached by jit)
-        self._generate = jax.jit(_generate_fn)
 
         def _voc_fn(vp, codes):
             return voc.decode(vp, codes, c.vocoder)
 
         self._voc_chunk = jax.jit(_voc_fn)
 
-        # streaming: chunked decode-loop programs
+        # streaming emission schedule: small head chunks so first audio
+        # lands fast (target < 300 ms, BASELINE.md), then steady-state
+        # 64-token chunks like the reference client (tts_client.py:31,
+        # 189-197). ONE compiled decode program (16-step while_loop) is
+        # invoked repeatedly — every emission size is a multiple of the
+        # decode quantum, and the loop exits early on EOS, so this costs
+        # only ~0.2 ms dispatch per extra call while keeping the (slow,
+        # tunneled) TPU compile count minimal. The vocoder likewise runs a
+        # single fixed [1, 64, 16] program; short head chunks are padded.
         self._init_state = jax.jit(
             lambda tp, text_ids, n_text, key: self._mk_state(
                 tp, text_ids, n_text, key))
+        self.head_schedule = (16, 16, 32)
+        self.decode_quantum = 16
+        # ONE program, dynamic step budget (see gen.run_steps docstring)
         self._run_chunk = jax.jit(
-            partial(gen.run_steps, cfg=c, max_steps=VOC_CHUNK_SIZE),
-            static_argnames=())
+            lambda tp, cpp, s, n: gen.run_steps(tp, cpp, s, c, n))
+
+        # prefix KV cache: the TPU analog of the reference's disk-persisted
+        # talker KV state keyed by prefix hash
+        # (llamacpp_talker_server.py:208-246) — post-prefill states are kept
+        # on device, keyed by (text ids, length), LRU-bounded. Optionally
+        # also persisted to disk (md5-keyed npz like the reference's
+        # qwen3_kv_{hash}.bin); worthwhile on hosts with fast device
+        # transfer, skippable over a slow tunnel.
+        self._prefix_cache: Dict = {}
+        self._prefix_cache_cap = 4
+        self.kv_cache_dir: Optional[str] = None
+
 
     def _mk_state(self, tp, text_ids, n_text, key):
         prefix, plen = tk.build_prefix(tp, text_ids, n_text)
@@ -108,6 +134,73 @@ class TTSEngine:
                               key, self.cfg)
 
     # ------------------------------------------------------------------
+    def _maybe_cached_prefill(self, tp, text_ids, n_text, key):
+        """Prefill with prefix-state reuse.
+
+        Port of the reference's KV persistence (llamacpp_talker_server.py:
+        208-246: prefill state keyed by md5 of the prefix, restored on
+        repeat requests). Here the post-prefill GenState lives on device,
+        keyed by the exact (text_ids, n_text); LRU-bounded.
+        """
+        k = (tuple(np.asarray(text_ids).tolist()), int(n_text))
+        hit = self._prefix_cache.pop(k, None)
+        if hit is not None:
+            self._prefix_cache[k] = hit  # refresh LRU order
+            return hit._replace(key=key)
+        state = None
+        disk_path = None
+        if self.kv_cache_dir is not None:
+            import hashlib
+            h = hashlib.md5(np.asarray(text_ids).tobytes()
+                            + str(int(n_text)).encode()).hexdigest()[:16]
+            disk_path = os.path.join(self.kv_cache_dir, f"qwen3_kv_{h}.npz")
+            if os.path.exists(disk_path):
+                try:
+                    state = self._load_state_npz(disk_path, key)
+                    disk_path = None  # no need to re-save
+                except Exception:
+                    state = None
+        if state is None:
+            state = self._init_state(tp, text_ids, n_text, key)
+            if disk_path is not None:
+                try:
+                    self._save_state_npz(disk_path, state)
+                except Exception:
+                    pass
+        self._prefix_cache[k] = state
+        while len(self._prefix_cache) > self._prefix_cache_cap:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        return state
+
+    def _save_state_npz(self, path: str, state) -> None:
+        """Persist a post-prefill GenState (reference: llama_state_save_file
+        + hidden .npy, llama_wrapper.c:84-109)."""
+        flat = {}
+        for f in state._fields:
+            a = np.asarray(jax.device_get(getattr(state, f)))
+            if a.dtype.name == "bfloat16":  # npz has no bf16; round-trip f32
+                a = a.astype(np.float32)
+            flat[f] = a
+        np.savez(path, **flat)
+
+    def _load_state_npz(self, path: str, key):
+        data = np.load(path)
+        kwargs = {f: jnp.asarray(data[f]) for f in gen.GenState._fields
+                  if f != "key"}
+        kwargs["key"] = key
+        # restore dtypes that numpy round-trips lose (bf16 saved as f32?)
+        ref_dtype = self.params["talker"]["codec_embedding"].dtype
+        kwargs["kv"] = kwargs["kv"].astype(ref_dtype)
+        kwargs["hidden"] = kwargs["hidden"].astype(ref_dtype)
+        return gen.GenState(**kwargs)
+
+    def _decode_pipelined(self, tp, cpp, state):
+        """Run the decode to completion in ONE program invocation (the
+        while_loop exits on EOS; the step budget is a runtime scalar)."""
+        state = self._run_chunk(tp, cpp, state,
+                                jnp.int32(self.cfg.max_tokens))
+        return state
+
     def _encode_text(self, text: str):
         ids = self.tokenizer.encode(text, add_special_tokens=False)
         n = len(ids)
@@ -145,10 +238,10 @@ class TTSEngine:
 
         if not streaming:
             with timer.stage("decode"):
-                codes_all, n_codes = self._generate(tp, cpp, text_ids,
-                                                    n_text, key)
-                n = int(jax.device_get(n_codes)[0])
-                codes_np = np.asarray(jax.device_get(codes_all))[0][:n]
+                state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
+                state = self._decode_pipelined(tp, cpp, state)
+                n = int(jax.device_get(state.n_codes)[0])
+                codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
             with timer.stage("vocoder"):
                 if n > 0:
                     audio = voc.synthesize_chunked(
@@ -158,41 +251,60 @@ class TTSEngine:
                 else:
                     audio = np.zeros((0,), np.float32)
         else:
-            # streaming: decode in 64-token chunks, dispatch vocoder chunks
-            # asynchronously while the next decode chunk runs (disjoint
-            # chunks, like the reference's streaming client path)
+            # streaming: decode in 16-step quanta with ONE chunk always in
+            # flight ahead of the status fetch, so the tunnel round-trip
+            # for (done, n_codes) overlaps device compute instead of
+            # serializing it; vocoder emissions (head schedule then 64s)
+            # dispatch asynchronously — the TPU analog of the reference's
+            # background vocoder threads (tts_client.py:189-197; disjoint
+            # chunks, as in the reference's streaming client).
             with timer.stage("prefill"):
-                state = self._init_state(tp, text_ids, n_text, key)
-            pending: List[jax.Array] = []
+                state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
+            pending: List[tuple] = []  # (future, n_tokens)
             emitted = 0
+            sched = list(self.head_schedule)
             with timer.stage("decode+vocoder"):
+                cur = self._run_chunk(tp, cpp, state,
+                                      jnp.int32(self.decode_quantum))
                 while True:
-                    state = self._run_chunk(tp, cpp, state)
-                    n_now = int(jax.device_get(state.n_codes)[0])
-                    done = bool(jax.device_get(state.done)[0]) or (
-                        int(jax.device_get(state.step)) >= self.cfg.max_tokens)
-                    while n_now - emitted >= VOC_CHUNK_SIZE:
+                    # pipeline the next chunk ahead of the status fetch
+                    nxt = self._run_chunk(tp, cpp, cur,
+                                          jnp.int32(VOC_CHUNK_SIZE))
+                    done, n_now = jax.device_get((cur.done[0],
+                                                  cur.n_codes[0]))
+                    n_now = int(n_now)
+                    next_n = sched[0] if sched else VOC_CHUNK_SIZE
+                    while n_now - emitted >= next_n:
+                        # pad the emission into the fixed 64-token program
                         chunk = jax.lax.dynamic_slice_in_dim(
-                            state.codes[0], emitted, VOC_CHUNK_SIZE, axis=0)
-                        pending.append(self._voc_chunk(vp, chunk[None]))
-                        emitted += VOC_CHUNK_SIZE
+                            cur.codes[0], emitted, VOC_CHUNK_SIZE, axis=0)
+                        mask = (jnp.arange(VOC_CHUNK_SIZE) < next_n)
+                        chunk = jnp.where(mask[:, None], chunk, 0)
+                        fut = self._voc_chunk(vp, chunk[None])
+                        pending.append((fut, next_n))
+                        emitted += next_n
+                        if sched:
+                            sched.pop(0)
+                        next_n = sched[0] if sched else VOC_CHUNK_SIZE
                         if first_audio_t is None:
+                            np.asarray(jax.device_get(fut))
                             first_audio_t = time.perf_counter() - t_start
-                    if done:
+                    if bool(done):
+                        state = cur
                         break
-                # tail chunk (padded)
+                    cur = nxt
+                # tail emission (padded)
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
                 tail = n - emitted
                 if tail > 0:
                     pad = np.zeros((1, VOC_CHUNK_SIZE, 16), np.int32)
                     pad[0, :tail] = codes_np[emitted:]
-                    pending.append(self._voc_chunk(vp, jnp.asarray(pad)))
+                    pending.append(
+                        (self._voc_chunk(vp, jnp.asarray(pad)), tail))
                 chunks = []
-                for i, fut in enumerate(pending):
+                for fut, keep in pending:
                     a = np.asarray(jax.device_get(fut))[0]
-                    is_tail = (i == len(pending) - 1) and tail > 0
-                    keep = tail if is_tail else VOC_CHUNK_SIZE
                     chunks.append(a[:keep * SAMPLES_PER_TOKEN])
                     if first_audio_t is None:
                         first_audio_t = time.perf_counter() - t_start
@@ -214,3 +326,71 @@ class TTSEngine:
         if output is not None and len(audio_i16) > 0:
             wav_io.write_wav(output, audio_i16)
         return result
+
+    def synthesize_batch(self, texts, languages=None, seed: int = 0):
+        """Batched multi-request decode: all texts run in ONE batched fused
+        loop (the multi-language batch config in BASELINE.json — e.g. one
+        sentence per supported language in a single program), then the
+        vocoder renders each stream.
+
+        Returns a list of SynthesisResult (shared timing fields).
+        """
+        languages = languages or ["russian"] * len(texts)
+        for lang in languages:
+            if lang not in SUPPORTED_LANGUAGES:
+                raise ValueError(f"unsupported language {lang!r}")
+
+        timer = StageTimer()
+        tp = self.params["talker"]
+        cpp = self.params["code_predictor"]
+        vp = self.params["vocoder"]
+        B = len(texts)
+
+        with timer.stage("tokenize"):
+            encoded = [self._encode_text(t) for t in texts]
+            bucket = max(int(ids.shape[0]) for ids, _ in encoded)
+            ids_np = np.zeros((B, bucket), np.int32)
+            n_text_np = np.zeros((B,), np.int32)
+            for i, (ids, n) in enumerate(encoded):
+                ids_np[i, :ids.shape[0]] = np.asarray(ids)
+                n_text_np[i] = int(n)
+
+        with timer.stage("decode"):
+            key = jax.random.PRNGKey(seed)
+            state = self._batch_prefill(tp, jnp.asarray(ids_np),
+                                        jnp.asarray(n_text_np), key)
+            state = self._decode_pipelined(tp, cpp, state)
+            n_codes = np.asarray(jax.device_get(state.n_codes))
+            codes_all = np.asarray(jax.device_get(state.codes))
+
+        results = []
+        with timer.stage("vocoder"):
+            for i in range(B):
+                n = int(n_codes[i])
+                codes_np = codes_all[i][:n]
+                if n > 0:
+                    audio = voc.synthesize_chunked(
+                        lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
+                        codes_np, VOC_CHUNK_SIZE, VOC_OVERLAP)
+                else:
+                    audio = np.zeros((0,), np.float32)
+                audio_i16 = voc.to_int16(audio)
+                dur = len(audio_i16) / SAMPLE_RATE
+                results.append(SynthesisResult(
+                    audio_int16=audio_i16, codes=codes_np, n_tokens=n,
+                    timings=dict(timer.stages),
+                    total_seconds=timer.total(),
+                    rtf=(timer.total() / dur) if dur > 0 else float("inf"),
+                ))
+        return results
+
+    @property
+    def _batch_prefill(self):
+        if not hasattr(self, "_batch_prefill_fn"):
+            def fn(tp, ids, n_text, key):
+                prefix, plen = jax.vmap(
+                    lambda i, n: tk.build_prefix(tp, i, n))(ids, n_text)
+                prefix = prefix.astype(tp["codec_embedding"].dtype)
+                return gen.init_state(tp, prefix, plen, n_text, key, self.cfg)
+            self._batch_prefill_fn = jax.jit(fn)
+        return self._batch_prefill_fn

@@ -100,8 +100,16 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
     )(logits, state.ring, state.n_codes, state.n_text, c0_keys)  # (B,)
 
     is_eos = (code0 == CODEC_EOS_ID) | (code0 >= NUM_AUDIO_CODES)
-    active = ~state.done & ~is_eos          # elements producing a token now
-    new_done = state.done | is_eos
+    S = state.kv.shape[3]
+    has_room = (state.n_codes < cfg.max_tokens) & (state.pos < S - 1)
+    active = ~state.done & ~is_eos & has_room  # producing a token now
+    new_n_codes = state.n_codes + active.astype(jnp.int32)
+    # a slot finishes on EOS, on hitting its token budget, or on filling
+    # its KV allocation (per-slot bounds — global step is never consulted,
+    # so slots can be recycled indefinitely in the serving tier)
+    new_done = (state.done | is_eos
+                | (new_n_codes >= cfg.max_tokens)
+                | (state.pos + active.astype(jnp.int32) >= S - 1))
 
     # 2. code predictor: groups 1..15 (always computed; masked commit)
     code0_safe = jnp.where(active, code0, 0)
@@ -135,7 +143,7 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
         ring=jnp.where(active[:, None],
                        jax.vmap(smp.ring_push)(state.ring, code0_safe),
                        state.ring),
-        n_codes=state.n_codes + active.astype(jnp.int32),
+        n_codes=new_n_codes,
         done=new_done,
         codes=codes,
         n_text=state.n_text,
@@ -149,17 +157,22 @@ def run_steps(
     cp_params: Params,
     state: GenState,
     cfg: TTSConfig,
-    max_steps: int,
+    max_steps,
 ) -> GenState:
-    """Advance the fused loop by up to ``max_steps`` (static bound); exits
-    early once every batch element has hit EOS."""
+    """Advance the fused loop by up to ``max_steps``; exits early once every
+    batch element has hit EOS.
+
+    ``max_steps`` may be a traced scalar — it only feeds the while_loop
+    condition, so ONE compiled program serves every chunk size (head
+    chunks, steady-state 64s, and whole-utterance runs). This matters on
+    tunneled TPUs where each distinct program costs minutes of compile.
+    """
     tts_pad_embed = tk.embed_text(
         talker_params, jnp.array([TTS_PAD_TOKEN_ID]))[0]
-    stop_step = state.step + max_steps
+    stop_step = state.step + jnp.asarray(max_steps, jnp.int32)
 
     def cond(s: GenState):
-        return jnp.any(~s.done) & (s.step < stop_step) & (
-            s.step < cfg.max_tokens)
+        return jnp.any(~s.done) & (s.step < stop_step)
 
     def body(s: GenState):
         return _loop_body(s, talker_params, cp_params, tts_pad_embed, cfg)
@@ -181,5 +194,6 @@ def generate(
     Jit with ``static_argnums`` on cfg (it is hashable) or close over it.
     """
     state = init_state(talker_params, prefix, prefix_len, n_text, key, cfg)
-    state = run_steps(talker_params, cp_params, state, cfg, cfg.max_tokens)
+    state = run_steps(talker_params, cp_params, state, cfg,
+                      jnp.int32(cfg.max_tokens))
     return state.codes, state.n_codes

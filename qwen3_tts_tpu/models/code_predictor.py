@@ -98,8 +98,8 @@ def predict_codes(
     h_last = h[:, -1]                                       # (B, H)
 
     # --- group 1 from lm_head_0 ---
-    logits0 = jnp.dot(h_last, params["lm_heads"][0],
-                      preferred_element_type=jnp.float32)   # (B, V)
+    from qwen3_tts_tpu.ops import quant
+    logits0 = quant.matmul(h_last, params["lm_heads"][0])   # (B, V)
     keys = jax.random.split(key, cfg.num_groups)
     k0 = jax.random.split(keys[0], B)
     tok0 = jax.vmap(
@@ -117,8 +117,7 @@ def predict_codes(
         pos = jnp.full((B,), step_idx + 1, jnp.int32)
         hh, kv = tfm.decode_step(params["layers"], emb, pos, kv, geo)
         hh = tfm.rms_norm(hh, params["final_norm"], cfg.rms_norm_eps)
-        logits = jnp.dot(hh, params["lm_heads"][step_idx],
-                         preferred_element_type=jnp.float32)
+        logits = quant.matmul(hh, params["lm_heads"][step_idx])
         kb = jax.random.split(kstep, B)
         ntok = jax.vmap(
             lambda lg, kk: smp.topk_temperature_sample(

@@ -87,9 +87,9 @@ def embed_text(params: Params, token_ids: jax.Array) -> jax.Array:
 
 
 def codec_logits(params: Params, hidden: jax.Array) -> jax.Array:
-    """hidden (..., H) -> (..., codec_vocab)."""
-    return jnp.dot(hidden, params["codec_head"],
-                   preferred_element_type=jnp.float32)
+    """hidden (..., H) -> (..., codec_vocab). codec_head may be int8."""
+    from qwen3_tts_tpu.ops import quant
+    return quant.matmul(hidden, params["codec_head"])
 
 
 def build_prefix(
@@ -171,6 +171,44 @@ def prefill(
     h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.take_along_axis(
         h, (prefix_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return last, kv
+
+
+def prefill_chunked(
+    params: Params,
+    prefix: jax.Array,      # (B, P_pad, H)
+    prefix_len: jax.Array,  # (B,)
+    kv_cache: jax.Array,
+    cfg: TalkerConfig,
+    chunk: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Block-wise prefill in fixed `chunk`-token windows (the TPU analog of
+    the reference's 128-token chunked NPU prefill, LLM_Qwen3TTS.hpp:452-548).
+    Numerically identical to the one-shot prefill (causal masking makes
+    window order irrelevant); attention memory is O(chunk * S) instead of
+    O(P^2). Returns (hidden at last real position, updated kv)."""
+    geo = tfm.geometry_of(cfg)
+    B, P, H = prefix.shape
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        prefix = jnp.concatenate(
+            [prefix, jnp.zeros((B, pad, H), prefix.dtype)], axis=1)
+
+    h_buf = jnp.zeros_like(prefix)
+
+    def body(i, carry):
+        h_buf, kv = carry
+        x = jax.lax.dynamic_slice_in_dim(prefix, i * chunk, chunk, axis=1)
+        h, kv = tfm.forward_window(params["layers"], x, i * chunk, kv, geo)
+        h_buf = jax.lax.dynamic_update_slice_in_dim(h_buf, h, i * chunk,
+                                                    axis=1)
+        return h_buf, kv
+
+    h_buf, kv = jax.lax.fori_loop(0, n_chunks, body, (h_buf, kv_cache))
+    h_buf = tfm.rms_norm(h_buf, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(
+        h_buf, (prefix_len - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return last, kv
 
 

@@ -30,6 +30,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from qwen3_tts_tpu.ops import quant
+
 Params = Dict[str, Any]
 
 
@@ -80,13 +82,13 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def swiglu_mlp(x: jax.Array, gate_w: jax.Array, up_w: jax.Array,
-               down_w: jax.Array) -> jax.Array:
-    """SwiGLU: down( silu(x@gate) * (x@up) )."""
-    g = jnp.dot(x, gate_w, preferred_element_type=jnp.float32)
-    u = jnp.dot(x, up_w, preferred_element_type=jnp.float32)
+def swiglu_mlp(x: jax.Array, gate_w, up_w, down_w) -> jax.Array:
+    """SwiGLU: down( silu(x@gate) * (x@up) ). Weights may be int8 QTensors
+    (weight-only quant; ops/quant.py) — matmul dispatches."""
+    g = quant.matmul(x, gate_w)
+    u = quant.matmul(x, up_w)
     h = (silu(g) * u).astype(x.dtype)
-    return jnp.dot(h, down_w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return quant.matmul(h, down_w).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -169,9 +171,10 @@ def _qkv(layer: Params, x: jax.Array, geo: TransformerGeometry,
     QK-norm before RoPE matches HF Qwen3Attention.
     """
     B, T, _ = x.shape
-    q = jnp.dot(x, layer["q_proj"], preferred_element_type=jnp.float32)
-    k = jnp.dot(x, layer["k_proj"], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, layer["v_proj"], preferred_element_type=jnp.float32)
+    xf = x.reshape(B * T, -1)
+    q = quant.matmul(xf, layer["q_proj"]).reshape(B, T, -1)
+    k = quant.matmul(xf, layer["k_proj"]).reshape(B, T, -1)
+    v = quant.matmul(xf, layer["v_proj"]).reshape(B, T, -1)
     q = q.astype(x.dtype).reshape(B, T, geo.num_heads, geo.head_dim)
     k = k.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
     v = v.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
@@ -229,8 +232,9 @@ def forward_prefill(
         hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
         q, k, v = _qkv(layer, hn, geo, cos, sin)
         attn = gqa_attention(q, k, v, attn_mask, geo)
-        attn = jnp.dot(attn, layer["o_proj"],
-                       preferred_element_type=jnp.float32).astype(h.dtype)
+        B_, T_ = attn.shape[0], attn.shape[1]
+        attn = quant.matmul(attn.reshape(B_ * T_, -1),
+                            layer["o_proj"]).reshape(B_, T_, -1).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
@@ -255,6 +259,53 @@ def causal_mask(batch: int, seq_len: int, lengths: jax.Array) -> jax.Array:
     causal = j <= i                                    # (P, P)
     valid = jnp.arange(seq_len)[None, :] < lengths[:, None]  # (B, P)
     return causal[None, :, :] & valid[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Windowed forward: C tokens at a global offset against the KV cache.
+# The block-wise prefill primitive (the TPU analog of the reference's
+# chunked 128-token NPU prefill with incrementally-built causal masks,
+# LLM_Qwen3TTS.hpp:452-548): attention cost O(C*S) per window instead of
+# O(P^2), and the same path serves speculative/multi-token decode later.
+# ---------------------------------------------------------------------------
+
+def forward_window(
+    params: Params,
+    x: jax.Array,          # (B, C, H) window of input embeddings
+    offset: jax.Array,     # scalar int32: global position of window start
+    kv_cache: jax.Array,   # (L, 2, B, S, Hkv, Dh)
+    geo: TransformerGeometry,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run all layers over a C-token window, writing K/V at
+    [offset : offset+C] and attending causally over [0 : offset+C].
+    Returns (hidden (B, C, H) pre-final-norm, updated kv)."""
+    B, C, _ = x.shape
+    S = kv_cache.shape[3]
+    positions = offset + jnp.arange(C, dtype=jnp.int32)          # (C,)
+    cos, sin = rope_cos_sin(jnp.broadcast_to(positions, (B, C)),
+                            geo.head_dim, geo.rope_theta)
+    j = jnp.arange(S)[None, :]
+    mask = j <= (offset + jnp.arange(C, dtype=jnp.int32))[:, None]  # (C, S)
+    mask = jnp.broadcast_to(mask[None], (B, C, S))
+
+    def layer_fn(h, xs):
+        layer, kv_l = xs
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn, geo, cos, sin)
+        new_kv = jnp.stack([k, v]).astype(kv_l.dtype)  # (2, B, C, Hkv, Dh)
+        kv_l = jax.lax.dynamic_update_slice(
+            kv_l, new_kv, (0, 0, offset, 0, 0))
+        attn = gqa_attention(q, kv_l[0], kv_l[1], mask, geo)
+        attn = quant.matmul(attn.reshape(B * C, -1),
+                            layer["o_proj"]).reshape(B, C, -1).astype(h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
+                           layer["down_proj"])
+        return h, kv_l
+
+    h, new_kv = jax.lax.scan(layer_fn, x, (params, kv_cache))
+    return h, new_kv
 
 
 # ---------------------------------------------------------------------------
@@ -286,8 +337,7 @@ def decode_step(
         k_all = kv_l[0]  # (B, S, Hkv, Dh)
         v_all = kv_l[1]
         attn = gqa_attention(q, k_all, v_all, mask, geo)      # (B, 1, Hq*Dh)
-        attn = jnp.dot(attn[:, 0], layer["o_proj"],
-                       preferred_element_type=jnp.float32).astype(h.dtype)
+        attn = quant.matmul(attn[:, 0], layer["o_proj"]).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],

@@ -1,0 +1,117 @@
+"""Weight-only int8 quantization for the talker / code-predictor matmuls.
+
+The reference deploys quantized transformer weights (talker GGUF Q4_K_M,
+code predictor GGML Q4_0 — its fastest CP backend, README.md:82-90) and
+keeps the vocoder FP32. The TPU equivalent: symmetric per-output-channel
+int8 weights streamed from HBM at half the bf16 bytes — decode is
+bandwidth-bound, so this converts directly into step time. Dequantization
+happens on the fly inside a Pallas kernel (ops/pallas/qmatmul.py) so the
+bf16 weights never exist in HBM; an XLA fallback covers CPU/interpret.
+
+The vocoder is never quantized (README.md:56-64: every quantized vocoder
+variant fails audibly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class QTensor:
+    """Symmetric per-out-channel int8 weight: w ≈ q * scale.
+
+    q: int8, shape (..., K, N); scale: float32, shape (..., N) — scales
+    broadcast over the contraction (K) dim; leading dims are layer stacks.
+    """
+
+    __slots__ = ("q", "scale")
+
+    def __init__(self, q: jax.Array, scale: jax.Array):
+        self.q = q
+        self.scale = scale
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    def __getitem__(self, idx):
+        """Index leading (layer/group) dims; scales share those dims."""
+        return QTensor(self.q[idx], self.scale[idx])
+
+    def __repr__(self):
+        return f"QTensor(int8 {self.q.shape}, scale {self.scale.shape})"
+
+
+def quantize_int8(w: jax.Array) -> QTensor:
+    """Quantize (..., K, N) weights to int8 with per-(..., N) scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)  # (..., N)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return QTensor(q, scale.astype(jnp.float32))
+
+
+def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    return (w.q.astype(jnp.float32) * w.scale[..., None, :]).astype(dtype)
+
+
+MaybeQuant = Union[jax.Array, QTensor]
+
+
+def matmul(x: jax.Array, w: MaybeQuant, *, use_pallas: bool = True) -> jax.Array:
+    """x @ w with quant-aware dispatch. Always accumulates in float32.
+
+    x: (..., K); w: (K, N) dense or QTensor. Returns float32 (callers cast).
+    """
+    if not isinstance(w, QTensor):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if use_pallas and x.ndim == 2 and jax.default_backend() == "tpu":
+        from qwen3_tts_tpu.ops.pallas.qmatmul import qmatmul_pallas
+        try:
+            return qmatmul_pallas(x, w.q, w.scale)
+        except Exception:
+            pass
+    # XLA fallback: int8 operand feeds the dot directly; XLA converts lazily.
+    out = jnp.dot(x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return out * w.scale
+
+
+def quantize_layer_stack(layers: dict) -> dict:
+    """Quantize the seven projection matrices of a stacked layer pytree;
+    norms stay dense."""
+    out = dict(layers)
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        out[name] = quantize_int8(layers[name])
+    return out
+
+
+def quantize_talker(params: dict) -> dict:
+    out = dict(params)
+    out["layers"] = quantize_layer_stack(params["layers"])
+    out["codec_head"] = quantize_int8(params["codec_head"])
+    # text projection / embeddings stay dense: used in prefill only
+    return out
+
+
+def quantize_code_predictor(params: dict) -> dict:
+    out = dict(params)
+    out["layers"] = quantize_layer_stack(params["layers"])
+    out["lm_heads"] = quantize_int8(params["lm_heads"])
+    return out

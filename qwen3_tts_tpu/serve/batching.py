@@ -1,0 +1,203 @@
+"""Continuous batching: multi-request talker decode in one batched program.
+
+New capability relative to the reference (batch=1 everywhere, SURVEY §2
+parallelism table); this is the daemon-serving tier from BASELINE.json
+config #5. Design:
+
+- one persistent batched ``GenState`` with B slots; the fused decode loop
+  (engine/generate.py) advances ALL slots in lockstep, `decode_chunk`
+  tokens per program invocation;
+- between chunks the scheduler admits queued requests into free slots
+  (batch-1 prefill, then a jitted slot-insert that splices the new KV /
+  hidden / bookkeeping into the batched state) and harvests finished
+  slots (EOS or per-slot token budget — the loop enforces per-slot
+  bounds, so slots recycle indefinitely);
+- finished requests run the chunked vocoder and resolve their futures.
+
+On a dp x tp mesh the same state/batch is sharded with
+parallel/mesh.gen_state_spec — the scheduler code is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_tts_tpu.config import (
+    SAMPLES_PER_TOKEN,
+    VOC_CHUNK_SIZE,
+    VOC_OVERLAP,
+    TTSConfig,
+)
+from qwen3_tts_tpu.engine import generate as gen
+from qwen3_tts_tpu.models import talker as tk
+from qwen3_tts_tpu.models import transformer as tfm
+from qwen3_tts_tpu.models import vocoder as voc
+
+
+class _Request:
+    def __init__(self, text_ids, n_text, seed):
+        self.text_ids = text_ids
+        self.n_text = n_text
+        self.seed = seed
+        self.future: Future = Future()
+
+
+def _empty_state(cfg: TTSConfig, batch: int, dtype) -> gen.GenState:
+    geo = tfm.geometry_of(cfg.talker)
+    W = cfg.sampling.repetition_window
+    return gen.GenState(
+        kv=tfm.init_kv_cache(geo, batch, cfg.talker.max_seq_len, dtype=dtype),
+        pos=jnp.zeros((batch,), jnp.int32),
+        hidden=jnp.zeros((batch, cfg.talker.hidden_size), dtype),
+        ring=jnp.full((batch, W), -1, jnp.int32),
+        n_codes=jnp.zeros((batch,), jnp.int32),
+        done=jnp.ones((batch,), jnp.bool_),   # all slots free
+        codes=jnp.zeros((batch, cfg.max_tokens, 16), jnp.int32),
+        n_text=jnp.zeros((batch,), jnp.int32),
+        step=jnp.int32(0),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+def _insert_slot(state: gen.GenState, slot: jax.Array,
+                 sub: gen.GenState) -> gen.GenState:
+    """Splice a batch-1 post-prefill state into ``slot`` of the batch."""
+    return gen.GenState(
+        kv=state.kv.at[:, :, slot].set(sub.kv[:, :, 0]),
+        pos=state.pos.at[slot].set(sub.pos[0]),
+        hidden=state.hidden.at[slot].set(sub.hidden[0]),
+        ring=state.ring.at[slot].set(sub.ring[0]),
+        n_codes=state.n_codes.at[slot].set(0),
+        done=state.done.at[slot].set(False),
+        codes=state.codes.at[slot].set(0),
+        n_text=state.n_text.at[slot].set(sub.n_text[0]),
+        step=state.step,
+        key=state.key,
+    )
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous batching scheduler over the fused decode loop."""
+
+    def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
+                 decode_chunk: int = 16, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size
+        self.decode_chunk = decode_chunk
+        self.dtype = dtype
+
+        tp = params["talker"]
+        self._state = _empty_state(cfg, batch_size, dtype)
+        self._slot_req: List[Optional[_Request]] = [None] * batch_size
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        self._prefill_one = jax.jit(
+            lambda tp, ids, n_text, key: gen.init_state(
+                tp,
+                tk.build_prefix(tp, ids, n_text)[0][None].astype(
+                    tp["codec_embedding"].dtype),
+                tk.build_prefix(tp, ids, n_text)[1][None],
+                n_text[None], key, cfg))
+        self._insert = jax.jit(_insert_slot)
+        self._run = jax.jit(
+            lambda tp, cpp, s: gen.run_steps(tp, cpp, s, cfg,
+                                             jnp.int32(decode_chunk)))
+        self._voc = jax.jit(
+            lambda vp, codes: voc.decode(vp, codes, cfg.vocoder))
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, text_ids: np.ndarray, n_text: int,
+               seed: int = 0) -> Future:
+        """Queue a request; the Future resolves to
+        (codes np[T,16], audio float32 np)."""
+        req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
+                       seed)
+        self._queue.put(req)
+        return req.future
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _free_slots(self, done: np.ndarray) -> List[int]:
+        return [i for i in range(self.batch_size)
+                if done[i] and self._slot_req[i] is None]
+
+    def _admit(self) -> int:
+        done = np.asarray(jax.device_get(self._state.done))
+        admitted = 0
+        for slot in self._free_slots(done):
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            sub = self._prefill_one(self.params["talker"], req.text_ids,
+                                    req.n_text,
+                                    jax.random.PRNGKey(req.seed))
+            self._state = self._insert(self._state, jnp.int32(slot), sub)
+            self._slot_req[slot] = req
+            admitted += 1
+        return admitted
+
+    def _harvest(self) -> int:
+        done = np.asarray(jax.device_get(self._state.done))
+        n_codes = np.asarray(jax.device_get(self._state.n_codes))
+        finished = 0
+        for slot in range(self.batch_size):
+            req = self._slot_req[slot]
+            if req is None or not done[slot]:
+                continue
+            n = int(n_codes[slot])
+            codes = np.asarray(
+                jax.device_get(self._state.codes[slot]))[:n]
+            try:
+                if n > 0:
+                    audio = voc.synthesize_chunked(
+                        lambda ch: self._voc(self.params["vocoder"],
+                                             jnp.asarray(ch)),
+                        codes, VOC_CHUNK_SIZE, VOC_OVERLAP)
+                else:
+                    audio = np.zeros((0,), np.float32)
+                req.future.set_result((codes, audio))
+            except Exception as e:
+                req.future.set_exception(e)
+            self._slot_req[slot] = None
+            finished += 1
+        return finished
+
+    def step(self) -> bool:
+        """One scheduler iteration. Returns True if any work happened."""
+        admitted = self._admit()
+        busy = any(r is not None for r in self._slot_req)
+        if busy:
+            self._state = self._run(self.params["talker"],
+                                    self.params["code_predictor"],
+                                    self._state)
+            self._harvest()
+            return True
+        return admitted > 0
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if not self.step():
+                time.sleep(0.002)

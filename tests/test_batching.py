@@ -1,0 +1,74 @@
+"""Continuous-batching scheduler tests (tiny geometry, CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.config import tiny_tts_config
+from qwen3_tts_tpu.io import weights as weights_io
+from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+TTS = tiny_tts_config(max_tokens=8)
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    return b
+
+
+def _ids(text):
+    arr = np.zeros(8, np.int32)
+    raw = [ord(c) % 1000 for c in text][:8]
+    arr[:len(raw)] = raw
+    return arr, len(raw)
+
+
+def test_more_requests_than_slots_all_complete(batcher):
+    """5 requests through 2 slots: slot recycling must serve them all."""
+    futures = []
+    for i, text in enumerate(["abc", "defg", "hi", "jklmn", "op"]):
+        ids, n = _ids(text)
+        futures.append(batcher.submit(ids, n, seed=i))
+
+    for _ in range(400):
+        if all(f.done() for f in futures):
+            break
+        batcher.step()
+    assert all(f.done() for f in futures)
+
+    for f in futures:
+        codes, audio = f.result(timeout=1)
+        assert codes.ndim == 2 and codes.shape[1] == 16
+        assert (codes < 2048).all()
+        assert len(audio) == len(codes) * 1920
+
+
+def test_interleaved_submission(batcher):
+    """Submit while the loop is mid-flight; the late request must still land."""
+    ids1, n1 = _ids("first")
+    f1 = batcher.submit(ids1, n1, seed=10)
+    batcher.step()  # admit + run one chunk
+    ids2, n2 = _ids("second")
+    f2 = batcher.submit(ids2, n2, seed=11)
+    for _ in range(400):
+        if f1.done() and f2.done():
+            break
+        batcher.step()
+    c1, a1 = f1.result(timeout=1)
+    c2, a2 = f2.result(timeout=1)
+    assert len(a1) == len(c1) * 1920
+    assert len(a2) == len(c2) * 1920
+
+
+def test_background_thread(batcher):
+    batcher.start()
+    try:
+        ids, n = _ids("thread")
+        f = batcher.submit(ids, n, seed=42)
+        codes, audio = f.result(timeout=120)
+        assert len(audio) == len(codes) * 1920
+    finally:
+        batcher.stop()

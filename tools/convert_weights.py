@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Convert / inspect Qwen3-TTS checkpoints for the TPU framework.
+
+Replaces the reference's model-prep toolchain (extract_embeddings.py,
+export_code_predictor_weights.py, convert_talker_gguf.py — SURVEY §2
+components #12-#15): there is no GGUF/ONNX step, only
+
+  HF model.safetensors ──► native params.npz  (single-file pytree)
+
+with optional embedding .npy dumps for inspection/debugging parity with
+the reference's extracted artifacts.
+
+Usage:
+  python tools/convert_weights.py --model_dir /path/to/hf_ckpt \
+      --output params.npz [--dtype bfloat16] [--dump_embeddings DIR]
+  python tools/convert_weights.py --random --output params.npz  # dev
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--random", action="store_true",
+                   help="Random weights at real geometry (development)")
+    p.add_argument("--output", default="params.npz")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--dump_embeddings", default=None,
+                   help="Also dump text/codec embedding .npy files "
+                        "(inspection parity with the reference's "
+                        "extract_embeddings.py outputs)")
+    p.add_argument("--platform", default="cpu",
+                   choices=["default", "cpu", "tpu"])
+    args = p.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    cfg = tiny_tts_config() if args.tiny else TTSConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.random or args.model_dir is None:
+        print("Initializing random parameters at model geometry...")
+        params = weights_io.init_random_params(cfg, seed=0, dtype=dtype)
+    else:
+        print(f"Loading HF checkpoint: {args.model_dir}")
+        params = weights_io.load_params(args.model_dir, cfg, dtype)
+
+    print(f"Saving native checkpoint: {args.output}")
+    weights_io.save_pytree_npz(args.output, params)
+    sz = os.path.getsize(args.output) / 1e6
+    print(f"  {sz:.1f} MB")
+
+    if args.dump_embeddings:
+        os.makedirs(args.dump_embeddings, exist_ok=True)
+        tp = params["talker"]
+        dumps = {
+            "text_embedding.npy": tp["text_embedding"],
+            "codec_embedding.npy": tp["codec_embedding"],
+            "codec_head.npy": np.asarray(tp["codec_head"]).T,  # (V, H) like ref
+            "text_projection_linear_fc1_weight.npy": np.asarray(tp["proj_fc1_w"]).T,
+            "text_projection_linear_fc1_bias.npy": tp["proj_fc1_b"],
+            "text_projection_linear_fc2_weight.npy": np.asarray(tp["proj_fc2_w"]).T,
+            "text_projection_linear_fc2_bias.npy": tp["proj_fc2_b"],
+        }
+        for name, arr in dumps.items():
+            path = os.path.join(args.dump_embeddings, name)
+            np.save(path, np.asarray(arr, np.float32))
+            print(f"  {name}: {np.asarray(arr).shape}")
+
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

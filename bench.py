@@ -65,19 +65,30 @@ def main() -> None:
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
         f"(n={res.n_tokens})")
 
-    rtfs, first_audio, ms_tok = [], [], []
+    # headline RTF: non-streaming — one decode-program invocation for the
+    # whole utterance, then the chunked-crossfade vocoder (the user path
+    # for "give me the WAV"). Each distinct prompt seeds a fresh prefill
+    # (the prefix cache only helps repeat prompts; vary text per trial).
+    rtfs, ms_tok = [], []
     for trial in range(4):
-        res = engine.synthesize(text, language="english", streaming=True,
-                                seed=10 + trial)
+        res = engine.synthesize(text + "?" * trial, language="english",
+                                streaming=False, seed=10 + trial)
         if res.n_tokens == 0:
             continue
         rtfs.append(res.rtf)
-        if res.first_audio_seconds is not None:
-            first_audio.append(res.first_audio_seconds)
         ms_tok.append(res.total_seconds / res.n_tokens * 1000)
         log(f"trial {trial}: n={res.n_tokens} total={res.total_seconds:.3f}s "
-            f"audio={res.audio_seconds:.2f}s RTF={res.rtf:.4f} "
-            f"first_audio={res.first_audio_seconds}")
+            f"audio={res.audio_seconds:.2f}s RTF={res.rtf:.4f}")
+
+    # first-audio: streaming with head chunks
+    first_audio = []
+    for trial in range(3):
+        res = engine.synthesize(text + "!" * trial, language="english",
+                                streaming=True, seed=20 + trial)
+        if res.first_audio_seconds is not None:
+            first_audio.append(res.first_audio_seconds)
+        log(f"stream trial {trial}: n={res.n_tokens} RTF={res.rtf:.4f} "
+            f"first_audio={res.first_audio_seconds:.3f}s")
 
     rtf = float(np.median(rtfs)) if rtfs else float("inf")
     log(f"median RTF={rtf:.4f}  {np.median(ms_tok):.2f} ms/tok  "

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force a JAX backend (the JAX_PLATFORMS env var is "
                         "overridden by site config in some environments; "
                         "this flag always works)")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="Weight-only int8 for talker+CP (vocoder stays FP32)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace (Perfetto) to DIR")
     return p
 
 
@@ -72,11 +76,14 @@ def main(argv=None) -> int:
 
     print(f"Text: '{text}'")
     print(f"Language: {args.language}")
+    from qwen3_tts_tpu.utils.profiling import device_trace
+
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
-                       seed=args.seed)
-    res = engine.synthesize(text, language=args.language,
-                            output=args.output, streaming=args.streaming,
-                            seed=args.seed)
+                       seed=args.seed, quantize=args.quantize)
+    with device_trace(args.profile):
+        res = engine.synthesize(text, language=args.language,
+                                output=args.output, streaming=args.streaming,
+                                seed=args.seed)
     if res.n_tokens == 0:
         print("No tokens generated!")
         return 1

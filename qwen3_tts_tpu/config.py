@@ -39,6 +39,7 @@ class TalkerConfig:
     text_embed_dim: int = 2048
     codec_vocab_size: int = 3072
     max_seq_len: int = 512  # reference n_ctx=512 (llamacpp_talker_server.py:104)
+    attention_impl: str = "xla"  # "xla" | "pallas" fused decode attention
 
     @property
     def q_dim(self) -> int:
@@ -67,6 +68,7 @@ class CodePredictorConfig:
     group_vocab_size: int = 2048  # per-group codec vocab
     # seq len inside one CP call: 2 prefill + 14 decode = 16
     max_seq_len: int = 16
+    attention_impl: str = "xla"
 
     @property
     def q_dim(self) -> int:

@@ -100,16 +100,16 @@ class TTSEngine:
         # streaming emission schedule: small head chunks so first audio
         # lands fast (target < 300 ms, BASELINE.md), then steady-state
         # 64-token chunks like the reference client (tts_client.py:31,
-        # 189-197). ONE compiled decode program (16-step while_loop) is
-        # invoked repeatedly — every emission size is a multiple of the
-        # decode quantum, and the loop exits early on EOS, so this costs
-        # only ~0.2 ms dispatch per extra call while keeping the (slow,
-        # tunneled) TPU compile count minimal. The vocoder likewise runs a
-        # single fixed [1, 64, 16] program; short head chunks are padded.
+        # 189-197). ONE compiled decode program serves every chunk size —
+        # the step budget is a runtime scalar feeding only the while_loop
+        # condition — so non-streaming runs whole utterances in a single
+        # invocation and streaming pays no extra compiles. The vocoder
+        # likewise runs a single fixed [1, 64, 16] program; short head
+        # chunks are padded.
         self._init_state = jax.jit(
             lambda tp, text_ids, n_text, key: self._mk_state(
                 tp, text_ids, n_text, key))
-        self.head_schedule = (16, 16, 32)
+        self.head_schedule = (8, 24, 32)
         self.decode_quantum = 16
         # ONE program, dynamic step budget (see gen.run_steps docstring)
         self._run_chunk = jax.jit(
@@ -260,54 +260,48 @@ class TTSEngine:
             # chunks, as in the reference's streaming client).
             with timer.stage("prefill"):
                 state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
-            pending: List[tuple] = []  # (future, n_tokens)
+            pending: List[tuple] = []  # (future, start_token)
             emitted = 0
             sched = list(self.head_schedule)
             with timer.stage("decode+vocoder"):
-                cur = self._run_chunk(tp, cpp, state,
-                                      jnp.int32(self.decode_quantum))
                 while True:
-                    # pipeline the next chunk ahead of the status fetch
-                    nxt = self._run_chunk(tp, cpp, cur,
-                                          jnp.int32(VOC_CHUNK_SIZE))
-                    done, n_now = jax.device_get((cur.done[0],
-                                                  cur.n_codes[0]))
-                    n_now = int(n_now)
-                    next_n = sched[0] if sched else VOC_CHUNK_SIZE
-                    while n_now - emitted >= next_n:
-                        # pad the emission into the fixed 64-token program
-                        chunk = jax.lax.dynamic_slice_in_dim(
-                            cur.codes[0], emitted, VOC_CHUNK_SIZE, axis=0)
-                        mask = (jnp.arange(VOC_CHUNK_SIZE) < next_n)
-                        chunk = jnp.where(mask[:, None], chunk, 0)
-                        fut = self._voc_chunk(vp, chunk[None])
-                        pending.append((fut, next_n))
-                        emitted += next_n
-                        if sched:
-                            sched.pop(0)
-                        next_n = sched[0] if sched else VOC_CHUNK_SIZE
-                        if first_audio_t is None:
-                            np.asarray(jax.device_get(fut))
-                            first_audio_t = time.perf_counter() - t_start
-                    if bool(done):
-                        state = cur
+                    budget = sched.pop(0) if sched else VOC_CHUNK_SIZE
+                    state = self._run_chunk(tp, cpp, state,
+                                            jnp.int32(budget))
+                    # optimistic emission: dispatch the vocoder for this
+                    # window immediately (device-value slice; rows past the
+                    # true token count are zero-masked — the same zero
+                    # padding the reference's fixed-shape chunks use). The
+                    # status fetch below then overlaps the vocoder run.
+                    win = min(VOC_CHUNK_SIZE, self.cfg.max_tokens)
+                    start = min(emitted, self.cfg.max_tokens - win)
+                    chunk = jax.lax.dynamic_slice_in_dim(
+                        state.codes[0], start, win, axis=0)
+                    off = emitted - start  # 0 unless clamped near the end
+                    idx = jnp.arange(VOC_CHUNK_SIZE)
+                    mask = idx < budget
+                    chunk = jnp.where(
+                        mask[:, None],
+                        chunk[jnp.clip(idx + off, 0, win - 1)], 0)
+                    fut = self._voc_chunk(vp, chunk[None])
+                    pending.append((fut, emitted, budget))
+                    done = bool(jax.device_get(state.done)[0])
+                    if first_audio_t is None:
+                        np.asarray(jax.device_get(fut))
+                        first_audio_t = time.perf_counter() - t_start
+                    emitted += budget
+                    if done:
                         break
-                    cur = nxt
-                # tail emission (padded)
+                # gather + trim emissions against the true token count
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
-                tail = n - emitted
-                if tail > 0:
-                    pad = np.zeros((1, VOC_CHUNK_SIZE, 16), np.int32)
-                    pad[0, :tail] = codes_np[emitted:]
-                    pending.append(
-                        (self._voc_chunk(vp, jnp.asarray(pad)), tail))
                 chunks = []
-                for fut, keep in pending:
+                for fut, start, size in pending:
+                    keep = min(size, max(n - start, 0))
+                    if keep <= 0:
+                        continue
                     a = np.asarray(jax.device_get(fut))[0]
                     chunks.append(a[:keep * SAMPLES_PER_TOKEN])
-                    if first_audio_t is None:
-                        first_audio_t = time.perf_counter() - t_start
                 audio = (np.concatenate(chunks) if chunks
                          else np.zeros((0,), np.float32))
 

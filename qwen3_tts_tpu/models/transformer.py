@@ -105,6 +105,7 @@ class TransformerGeometry:
     head_dim: int
     rms_norm_eps: float
     rope_theta: float
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused decode attention)
 
     @property
     def q_groups(self) -> int:
@@ -118,6 +119,7 @@ def geometry_of(cfg) -> TransformerGeometry:
         intermediate_size=cfg.intermediate_size, num_heads=cfg.num_heads,
         num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
         rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        attn_impl=getattr(cfg, "attention_impl", "xla"),
     )
 
 
@@ -336,8 +338,13 @@ def decode_step(
         kv_l = kv_l.at[:, b_idx, pos].set(new_kv)
         k_all = kv_l[0]  # (B, S, Hkv, Dh)
         v_all = kv_l[1]
-        attn = gqa_attention(q, k_all, v_all, mask, geo)      # (B, 1, Hq*Dh)
-        attn = quant.matmul(attn[:, 0], layer["o_proj"]).astype(h.dtype)
+        if geo.attn_impl == "pallas":
+            from qwen3_tts_tpu.ops.pallas.decode_attention import (
+                decode_attention_pallas)
+            attn1 = decode_attention_pallas(q[:, 0], k_all, v_all, pos)
+        else:
+            attn1 = gqa_attention(q, k_all, v_all, mask, geo)[:, 0]
+        attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],

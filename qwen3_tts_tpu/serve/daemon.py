@@ -44,10 +44,24 @@ def decode_response(payload: bytes):
 
 
 class TTSDaemon:
+    """Persistent synthesis daemon.
+
+    Two serving modes:
+    - engine mode (default): requests run one at a time on TTSEngine
+      (native C++ accept loop or Python fallback);
+    - batched mode (``batcher`` given): requests from concurrent
+      connections are admitted into the continuous-batching scheduler
+      (serve/batching.py) and decode together — the multi-request
+      serving tier (BASELINE.json config #5). Connections are handled on
+      a thread each so requests genuinely overlap.
+    """
+
     def __init__(self, engine: TTSEngine,
-                 socket_path: str = DEFAULT_SOCKET):
+                 socket_path: str = DEFAULT_SOCKET,
+                 batcher=None):
         self.engine = engine
         self.socket_path = socket_path
+        self.batcher = batcher
         self._stop = threading.Event()
 
     # -- request handling ---------------------------------------------------
@@ -58,6 +72,8 @@ class TTSDaemon:
             text = msg.get("text", "")
             if not text:
                 return encode_response({"error": "empty text"}, None)
+            if self.batcher is not None:
+                return self._handle_batched(msg, text)
             res = self.engine.synthesize(
                 text,
                 language=msg.get("language", "russian"),
@@ -74,42 +90,86 @@ class TTSDaemon:
         except Exception as e:  # error sentinel semantics
             return encode_response({"error": str(e)}, None)
 
+    def _handle_batched(self, msg, text: str) -> bytes:
+        import time as _time
+
+        from qwen3_tts_tpu.models import vocoder as _voc
+        lang = msg.get("language", "russian")
+        from qwen3_tts_tpu.config import SUPPORTED_LANGUAGES
+        if lang not in SUPPORTED_LANGUAGES:
+            return encode_response(
+                {"error": f"unsupported language {lang!r}"}, None)
+        t0 = _time.perf_counter()
+        ids, n_text = self.engine._encode_text(text)
+        fut = self.batcher.submit(np.asarray(ids), int(n_text),
+                                  seed=int(msg.get("seed", 0)))
+        codes, audio = fut.result(timeout=600)
+        audio_i16 = _voc.to_int16(audio)
+        total = _time.perf_counter() - t0
+        dur = len(audio_i16) / 24000.0
+        header = {
+            "n_samples": int(len(audio_i16)),
+            "n_tokens": int(len(codes)),
+            "rtf": (total / dur) if dur > 0 else float("inf"),
+            "total_seconds": total,
+        }
+        return encode_response(header, audio_i16)
+
     # -- serve loops --------------------------------------------------------
 
     def serve(self, native_loop: bool = True) -> None:
-        """Blocks until stop(). Uses the C++ accept loop when available."""
+        """Blocks until stop(). Uses the C++ accept loop when available;
+        batched mode always uses the threaded Python loop (concurrent
+        connections must overlap to share a decode batch)."""
         from qwen3_tts_tpu.runtime import native
+        if self.batcher is not None:
+            self.batcher.start()
+            try:
+                self._serve_python(threaded=True)
+            finally:
+                self.batcher.stop()
+            return
         if native_loop and native.available():
             native.serve_unix(self.socket_path, self.handle)
             return
         self._serve_python()
 
-    def _serve_python(self) -> None:
+    def _serve_python(self, threaded: bool = False) -> None:
         if os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         sock.bind(self.socket_path)
-        sock.listen(8)
+        sock.listen(16)
         sock.settimeout(1.0)
         os.chmod(self.socket_path, 0o666)
+
+        def serve_conn(conn):
+            try:
+                raw = _recv_exact(conn, 4)
+                if raw is None:
+                    return
+                n = struct.unpack("<I", raw)[0]
+                req = _recv_exact(conn, n)
+                if req is None:
+                    return
+                resp = self.handle(req)
+                conn.sendall(struct.pack("<I", len(resp)) + resp)
+            except Exception:
+                pass
+            finally:
+                conn.close()
+
         try:
             while not self._stop.is_set():
                 try:
                     conn, _ = sock.accept()
                 except socket.timeout:
                     continue
-                try:
-                    raw = _recv_exact(conn, 4)
-                    if raw is None:
-                        continue
-                    n = struct.unpack("<I", raw)[0]
-                    req = _recv_exact(conn, n)
-                    if req is None:
-                        continue
-                    resp = self.handle(req)
-                    conn.sendall(struct.pack("<I", len(resp)) + resp)
-                finally:
-                    conn.close()
+                if threaded:
+                    threading.Thread(target=serve_conn, args=(conn,),
+                                     daemon=True).start()
+                else:
+                    serve_conn(conn)
         finally:
             sock.close()
             if os.path.exists(self.socket_path):
@@ -169,6 +229,9 @@ def main(argv=None) -> int:
                    choices=["default", "cpu", "tpu"])
     p.add_argument("--python_loop", action="store_true",
                    help="Use the pure-Python accept loop")
+    p.add_argument("--batch", type=int, default=0,
+                   help="Enable continuous batching with N slots "
+                        "(concurrent requests decode together)")
     args = p.parse_args(argv)
 
     if args.platform != "default":
@@ -183,7 +246,12 @@ def main(argv=None) -> int:
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype)
     # warm the compile caches before accepting requests
     engine.synthesize("warmup", language="english", seed=0)
-    daemon = TTSDaemon(engine, args.socket)
+    batcher = None
+    if args.batch > 0:
+        from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+        batcher = ContinuousBatcher(cfg, engine.params,
+                                    batch_size=args.batch, dtype=dtype)
+    daemon = TTSDaemon(engine, args.socket, batcher=batcher)
     print(f"TTS daemon listening on {args.socket}", flush=True)
     daemon.serve(native_loop=not args.python_loop)
     return 0

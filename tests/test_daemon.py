@@ -57,3 +57,38 @@ def test_daemon_roundtrip(engine, tmp_path, native_loop):
     finally:
         daemon.stop()
         t.join(timeout=5)
+
+
+def test_daemon_batched_concurrent(engine, tmp_path):
+    """Batched daemon: concurrent clients share the decode batch."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    sock = str(tmp_path / "tts_batched.sock")
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, sock, batcher=batcher)
+    t = threading.Thread(target=daemon.serve, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.path.exists(sock)
+    try:
+        client = DaemonClient(sock)
+        results = {}
+
+        def call(i):
+            results[i] = client.synthesize(f"req {i}", language="english",
+                                           seed=i)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert len(results) == 3
+        for i, (hdr, audio) in results.items():
+            assert hdr["n_samples"] == len(audio) == hdr["n_tokens"] * 1920
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

@@ -89,8 +89,25 @@ class ContinuousBatcher:
     """Fixed-slot continuous batching scheduler over the fused decode loop."""
 
     def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
-                 decode_chunk: int = 16, dtype=jnp.bfloat16):
+                 decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
+        parameters are tensor-sharded and the batched decode state is
+        batch-sharded over dp / kv-head-sharded over tp
+        (parallel/mesh.py) — the v5e-4 serving configuration. The
+        scheduler logic itself is mesh-agnostic."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from qwen3_tts_tpu.parallel import mesh as pmesh
+            core = {k: params[k] for k in ("talker", "code_predictor")
+                    if k in params}
+            params = {**params, **pmesh.shard_params(mesh, core)}
+            self._state_shardings = jax.tree.map(
+                lambda sp: jax.sharding.NamedSharding(mesh, sp),
+                pmesh.gen_state_spec(cfg),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        else:
+            self._state_shardings = None
         self.params = params
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
@@ -98,6 +115,8 @@ class ContinuousBatcher:
 
         tp = params["talker"]
         self._state = _empty_state(cfg, batch_size, dtype)
+        if self._state_shardings is not None:
+            self._state = jax.device_put(self._state, self._state_shardings)
         self._slot_req: List[Optional[_Request]] = [None] * batch_size
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -111,9 +130,13 @@ class ContinuousBatcher:
                 tk.build_prefix(tp, ids, n_text)[1][None],
                 n_text[None], key, cfg))
         self._insert = jax.jit(_insert_slot)
-        self._run = jax.jit(
-            lambda tp, cpp, s: gen.run_steps(tp, cpp, s, cfg,
-                                             jnp.int32(decode_chunk)))
+
+        def _run_fn(tp, cpp, s):
+            if self._state_shardings is not None:
+                s = jax.lax.with_sharding_constraint(s, self._state_shardings)
+            return gen.run_steps(tp, cpp, s, cfg, jnp.int32(decode_chunk))
+
+        self._run = jax.jit(_run_fn)
         self._voc = jax.jit(
             lambda vp, codes: voc.decode(vp, codes, cfg.vocoder))
 

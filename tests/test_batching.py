@@ -72,3 +72,39 @@ def test_background_thread(batcher):
         assert len(audio) == len(codes) * 1920
     finally:
         batcher.stop()
+
+
+def test_batcher_on_mesh():
+    """Continuous batching on a dp x tp mesh (the v5e-4 serving config,
+    virtualized on the 8-CPU-device mesh)."""
+    import dataclasses
+    import jax
+    from qwen3_tts_tpu import config as C
+    from qwen3_tts_tpu.parallel import mesh as pmesh
+
+    talker = C.TalkerConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16,
+        text_vocab_size=151936, text_embed_dim=32, codec_vocab_size=3072,
+        max_seq_len=64)
+    cp_cfg = C.CodePredictorConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16)
+    cfg = dataclasses.replace(tiny_tts_config(max_tokens=6),
+                              talker=talker, code_predictor=cp_cfg)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(2, 4)
+    with mesh:
+        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                              dtype=jnp.float32, mesh=mesh)
+        futs = []
+        for i, text in enumerate(["mesh a", "mesh bb", "mesh ccc"]):
+            ids, n = _ids(text)
+            futs.append(b.submit(ids, n, seed=i))
+        for _ in range(300):
+            if all(f.done() for f in futs):
+                break
+            b.step()
+        for f in futs:
+            codes, audio = f.result(timeout=1)
+            assert len(audio) == len(codes) * 1920

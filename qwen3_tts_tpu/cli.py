@@ -38,8 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force a JAX backend (the JAX_PLATFORMS env var is "
                         "overridden by site config in some environments; "
                         "this flag always works)")
-    p.add_argument("--quantize", default=None, choices=[None, "int8"],
-                   help="Weight-only int8 for talker+CP (vocoder stays FP32)")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int8-cp"],
+                   help="Weight-only int8 for talker+CP ('int8') or the "
+                        "code predictor only ('int8-cp', enables the "
+                        "VMEM-resident CP kernel; vocoder stays FP32)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace (Perfetto) to DIR")
     return p

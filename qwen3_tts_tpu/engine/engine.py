@@ -77,12 +77,18 @@ class TTSEngine:
         self.cfg = cfg or TTSConfig()
         self.params = params if params is not None else weights_io.load_params(
             model_dir, self.cfg, dtype, seed)
-        if quantize == "int8":
-            # weight-only int8 for talker + CP (the reference's GGUF
-            # Q4_K_M / Q4_0 tier; vocoder stays FP32 — ops/quant.py)
+        if quantize in ("int8", "int8-cp"):
+            # weight-only int8 (the reference's GGUF Q4_K_M / Q4_0 tier;
+            # vocoder stays FP32 — ops/quant.py). "int8-cp" quantizes only
+            # the code predictor: its layer stack then fits in VMEM and
+            # the 14-step AR loop runs in the resident Pallas kernel
+            # (ops/pallas/cp_decode.py, ~1 ms/token vs ~5 ms), while the
+            # talker stays bf16 (int8 through XLA dots measured *slower*
+            # than bf16 — the converts defeat the bandwidth win).
             from qwen3_tts_tpu.ops import quant as quant_ops
-            self.params["talker"] = quant_ops.quantize_talker(
-                self.params["talker"])
+            if quantize == "int8":
+                self.params["talker"] = quant_ops.quantize_talker(
+                    self.params["talker"])
             self.params["code_predictor"] = quant_ops.quantize_code_predictor(
                 self.params["code_predictor"])
         elif quantize is not None:

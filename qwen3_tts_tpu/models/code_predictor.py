@@ -68,6 +68,26 @@ def _project_in(params: Params, x: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _fused_kernel_ok(params: Params, B: int,
+                     cfg: CodePredictorConfig) -> bool:
+    """The VMEM-resident Pallas path (ops/pallas/cp_decode.py) applies to
+    int8-quantized params, batch 1, TPU backend, MXU-aligned geometry."""
+    import os
+
+    from qwen3_tts_tpu.ops.quant import QTensor
+
+    if os.environ.get("QWEN3_TTS_CP_KERNEL", "1") == "0":
+        return False
+    return (B == 1
+            and isinstance(params.get("lm_heads"), QTensor)
+            and isinstance(params["layers"].get("q_proj"), QTensor)
+            and jax.default_backend() == "tpu"
+            and cfg.head_dim % 128 == 0
+            and cfg.hidden_size % 128 == 0
+            and cfg.group_vocab_size % 128 == 0
+            and cfg.max_seq_len % 8 == 0)
+
+
 def predict_codes(
     params: Params,
     hidden: jax.Array,        # (B, H) talker hidden (post final norm)
@@ -79,7 +99,10 @@ def predict_codes(
     """Predict groups 1..15 for each batch element. Returns (B, 15) int32.
 
     Mirrors CodePredictorServer.predict (code_predictor_server.py:94-140)
-    with the 14-step inner AR loop as a lax.scan.
+    with the 14-step inner AR loop as a lax.scan — or, when the int8
+    VMEM-resident Pallas kernel applies (B=1 on TPU), steps 1..14 run in
+    ONE pallas_call with the 5-layer weight stack resident in VMEM
+    (~1 ms/token vs ~5 ms for the scan; ops/pallas/cp_decode.py).
     """
     geo = tfm.geometry_of(cfg)
     B, H = hidden.shape
@@ -106,6 +129,18 @@ def predict_codes(
         lambda lg, kk: smp.topk_temperature_sample(
             lg, kk, scfg.cp_top_k, scfg.cp_temperature)
     )(logits0, k0).astype(jnp.int32)                        # (B,)
+
+    if _fused_kernel_ok(params, B, cfg):
+        from qwen3_tts_tpu.ops.pallas.cp_decode import cp_decode_steps
+        cos, sin = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
+                                    cfg.head_dim, cfg.rope_theta)
+        seed = jax.random.bits(keys[1], (), "uint32").astype(jnp.int32)
+        toks14 = cp_decode_steps(
+            params, tok0[0], kv, cos, sin, seed,
+            eps=cfg.rms_norm_eps, top_k=scfg.cp_top_k,
+            temperature=float(scfg.cp_temperature),
+            greedy=scfg.cp_temperature <= 0.0)
+        return jnp.concatenate([tok0[:, None], toks14[None, :]], axis=1)
 
     # --- steps 1..14: embed prev with codec_emb[step-1], decode pos step+1,
     #     sample from lm_head[step] ---

@@ -1,0 +1,321 @@
+"""Pallas TPU mega-kernel: the code predictor's 14-step inner AR loop with
+all transformer weights resident in VMEM.
+
+Why this kernel exists
+----------------------
+The code predictor is the reference's 86%-of-runtime bottleneck
+(docs/ARCHITECTURE.md:104-107) and ours too, in byte terms: each talker
+token triggers 1 prefill + 14 sequential decode steps through the 5-layer
+CP (models/code_predictor.py), and XLA re-streams the full layer stack
+from HBM on every step — ~15 x 75 MB (int8) = 1.1 GB per talker token.
+The weights, however, fit in VMEM when int8-quantized (75 MB < 128 MB),
+so the speed-of-light program reads them ONCE and runs all 14 steps
+on-chip. That is what this kernel does:
+
+- grid = (14,): one grid step per AR step (steps 1..14 of the reference's
+  dual_npu/code_predictor_server.py:127-140 semantics);
+- the 5-layer int8 weight stack uses constant index_maps — Pallas fetches
+  those blocks once and revisits them on every grid step;
+- the per-step codec embedding table and lm_head use grid-indexed blocks
+  (codec_embs[i], lm_heads[i+1]) that double-buffer in behind compute;
+- the KV cache (L x 2 x nKV x S x Dh ~ 656 KB) lives in VMEM scratch,
+  carried across grid steps; the sampled token is carried in SMEM;
+- sampling (top-k=50 + temperature categorical —
+  code_predictor_server.py:87-92) runs in-kernel: the top-k threshold via
+  (k-1) max-extractions, then Gumbel-max over the masked, scaled logits
+  (exactly a categorical draw over the top-k softmax), using the TPU core
+  PRNG (pltpu.prng_random_bits).
+
+Batch support: B = 1 (the CLI / bench path). The batched serving tier
+keeps the XLA scan (models/code_predictor.py) — at batch >= 4 the
+per-step weight traffic is amortized across requests anyway.
+
+Greedy mode (``temperature=0``) compiles WITHOUT the PRNG ops and takes
+pure argmax — bit-comparable to the XLA path at temperature 0, which is
+what the parity tests check (sampled draws can't match across different
+PRNG constructions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _rms(x, w, eps):
+    """RMSNorm rows of x (.., D) in f32; returns f32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+
+def _rot_mat(dh):
+    """(Dh, Dh) f32 R with (x @ R) == rotate_half(x) (HF convention:
+    rotate_half(x) = concat(-x[d/2:], x[:d/2]))."""
+    half = dh // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 1)
+    return (jnp.where(r == c + half, -1.0, 0.0)
+            + jnp.where(r + half == c, 1.0, 0.0)).astype(jnp.float32)
+
+
+def _qmm(x, q, s):
+    """x (1, K) -> (1, N) f32: int8 weight matmul with per-col scales."""
+    acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return acc * s.astype(jnp.float32).reshape(1, -1)
+
+
+def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
+    G = nH // nKV
+
+    def kernel(scalars,                       # SMEM (4,) i32
+               rope_cos, rope_sin,            # (S, Dh) f32
+               q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
+               g_q, g_s, u_q, u_s, d_q, d_s,  # int8 stacks + scales
+               input_ln, post_ln, qn_w, kn_w, final_norm,
+               mtp_w, mtp_b,                  # bf16 (H, H), f32 (1, H)
+               kv_in,                         # (L, 2, nKV, S, Dh) f32
+               emb_blk,                       # (1, V, H) bf16: codec_embs[i]
+               head_q, head_s,                # (1, H, V) int8, (1, 1, V) f32
+               out_tok,                       # (1, 8, 128) i32 per-step block
+               kv_scr, tok_scr):              # scratch
+        i = pl.program_id(0)
+        Dh = rope_cos.shape[-1]
+
+        @pl.when(i == 0)
+        def _init():
+            kv_scr[...] = kv_in[...]
+            tok_scr[0] = scalars[0]           # tok0 (group-1 code)
+
+        tok = tok_scr[0]
+        p = i + 2                             # write position (prefill = 0,1)
+
+        # --- embed previous token + small_to_mtp projection ---
+        # (dynamic row gathers at unaligned sublane offsets aren't
+        # expressible in Mosaic; a one-hot MXU contraction is — and a
+        # (1,V)x(V,H) dot is ~2 MMACs, noise here)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+                  == tok).astype(jnp.bfloat16)
+        emb = jnp.dot(onehot, emb_blk[0],
+                      preferred_element_type=jnp.float32)  # (1, H)
+        x = jnp.dot(emb.astype(jnp.bfloat16), mtp_w[...],
+                    preferred_element_type=jnp.float32)
+        x = (x + mtp_b[...].astype(jnp.float32)).astype(jnp.bfloat16)
+
+        rot = _rot_mat(Dh)
+        # rope row p via masked reduction (same alignment constraint)
+        prow = (jax.lax.broadcasted_iota(jnp.int32, (S, Dh), 0) == p)
+        cos = jnp.sum(jnp.where(prow, rope_cos[...], 0.0), axis=0,
+                      keepdims=True)          # (1, Dh) f32
+        sin = jnp.sum(jnp.where(prow, rope_sin[...], 0.0), axis=0,
+                      keepdims=True)
+
+        for l in range(L):
+            hn = _rms(x, input_ln[l], eps).astype(jnp.bfloat16)  # (1, H)
+            q = _qmm(hn, q_q[l], q_s[l]).reshape(nH, Dh)
+            k = _qmm(hn, k_q[l], k_s[l]).reshape(nKV, Dh)
+            v = _qmm(hn, v_q[l], v_s[l]).reshape(nKV, Dh)
+            # per-head QK-RMSNorm then RoPE (HF Qwen3Attention order)
+            q = _rms(q, qn_w[l], eps)
+            k = _rms(k, kn_w[l], eps)
+            q = q * cos + jnp.dot(q, rot,
+                                  preferred_element_type=jnp.float32) * sin
+            k = k * cos + jnp.dot(k, rot,
+                                  preferred_element_type=jnp.float32) * sin
+
+            # write K/V at position p; attend over [0..p]
+            outs = []
+            scale = 1.0 / (Dh ** 0.5)
+            kmask = (jax.lax.broadcasted_iota(jnp.int32, (G, S), 1) <= p)
+            for h in range(nKV):
+                # masked read-modify-write of the whole (S, Dh) tile:
+                # unaligned-sublane stores aren't expressible in Mosaic,
+                # and the tile is only S x Dh (16 x 128)
+                kh = jnp.where(prow, k[h:h + 1, :], kv_scr[l, 0, h, :, :])
+                vh = jnp.where(prow, v[h:h + 1, :], kv_scr[l, 1, h, :, :])
+                kv_scr[l, 0, h, :, :] = kh
+                kv_scr[l, 1, h, :, :] = vh
+                qh = q[h * G:(h + 1) * G, :]          # (G, Dh) f32
+                sc = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # (G, S)
+                sc = jnp.where(kmask, sc, NEG)
+                sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp(sc)
+                pb = e / jnp.sum(e, axis=-1, keepdims=True)
+                outs.append(jnp.dot(pb, kv_scr[l, 1, h, :, :],
+                                    preferred_element_type=jnp.float32))
+            attn = jnp.concatenate(outs, axis=0)       # (nH, Dh) f32
+            attn = attn.reshape(1, nH * Dh).astype(jnp.bfloat16)
+            x = x + _qmm(attn, o_q[l], o_s[l]).astype(jnp.bfloat16)
+
+            hn = _rms(x, post_ln[l], eps).astype(jnp.bfloat16)
+            g = _qmm(hn, g_q[l], g_s[l])
+            u = _qmm(hn, u_q[l], u_s[l])
+            act = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
+            x = x + _qmm(act, d_q[l], d_s[l]).astype(jnp.bfloat16)
+
+        hn = _rms(x, final_norm[...], eps).astype(jnp.bfloat16)
+        logits = _qmm(hn, head_q[0], head_s[0])        # (1, V) f32
+
+        # --- top-k threshold: remove the (k-1) largest, max of rest ---
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+        def rm_one(_, work):
+            m = jnp.max(work)
+            first = jnp.min(jnp.where(work == m, iota, V))
+            return jnp.where(iota == first, NEG, work)
+
+        rest = jax.lax.fori_loop(0, top_k - 1, rm_one, logits)
+        thr = jnp.max(rest)
+        keep = logits >= thr
+        masked = jnp.where(keep, logits, NEG)
+
+        if greedy:
+            z = masked
+        else:
+            # Counter-based hash PRNG (murmur3-finalizer style) in plain
+            # vector ops: identical bits on TPU and in interpret mode, and
+            # deterministic in (seed, step, lane) — no pltpu.prng_* (which
+            # has no interpret-mode support).
+            bits = (scalars[1].astype(jnp.uint32) * jnp.uint32(2654435761)
+                    + jnp.uint32(i).astype(jnp.uint32) * jnp.uint32(40503)
+                    + iota.astype(jnp.uint32) * jnp.uint32(2246822519))
+            bits = bits ^ (bits >> 16)
+            bits = bits * jnp.uint32(2246822519)
+            bits = bits ^ (bits >> 13)
+            bits = bits * jnp.uint32(3266489917)
+            bits = bits ^ (bits >> 16)
+            # u in (0, 1): 23 high bits as mantissa-grade uniform, nudged
+            # off both endpoints so -log(-log(u)) stays finite
+            # >>9 leaves 23 bits, so the int32 detour is lossless (Mosaic
+            # has no uint32->f32 cast)
+            u = (bits >> 9).astype(jnp.int32).astype(jnp.float32) \
+                * (1.0 / (1 << 23))
+            u = u * (1.0 - 1e-6) + 1e-7
+            gumbel = -jnp.log(-jnp.log(u))
+            z = jnp.where(keep, masked * (1.0 / max(temperature, 1e-6))
+                          + gumbel, NEG)
+
+        zm = jnp.max(z)
+        new_tok = jnp.min(jnp.where(z == zm, iota, V)).astype(jnp.int32)
+        tok_scr[0] = new_tok
+        out_tok[0, :, :] = jnp.full((8, 128), new_tok, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "top_k", "temperature", "greedy", "interpret"))
+def cp_decode_steps(
+    params: Dict,              # quantized CP params (ops/quant.py layout)
+    tok0: jax.Array,           # scalar int32 (group-1 code)
+    kv: jax.Array,             # (L, 2, 1, S, nKV, Dh) post-prefill cache
+    rope_cos: jax.Array,       # (S, Dh) f32
+    rope_sin: jax.Array,
+    seed: jax.Array,           # scalar int32
+    *,
+    eps: float,
+    top_k: int,
+    temperature: float,
+    greedy: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run CP AR steps 1..14 in one Pallas program. Returns (14,) int32
+    (codec groups 2..15; group 1 is ``tok0``, sampled by the caller from
+    lm_head_0 after the 2-token prefill — code_predictor_server.py:127).
+    """
+    from qwen3_tts_tpu.ops.quant import QTensor
+
+    layers = params["layers"]
+    heads: QTensor = params["lm_heads"]
+    embs = params["codec_embs"]
+    L, H, QD = layers["q_proj"].shape
+    KVD = layers["k_proj"].shape[-1]
+    Dh = layers["q_norm"].shape[-1]
+    nH, nKV = QD // Dh, KVD // Dh
+    S = kv.shape[3]
+    V = embs.shape[1]
+    n_steps = embs.shape[0] - 1               # 14
+
+    # KV layout for the kernel: (L, 2, nKV, S, Dh), B squeezed
+    kv_k = jnp.transpose(kv[:, :, 0], (0, 1, 3, 2, 4)).astype(jnp.float32)
+
+    kern = _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy)
+
+    def inv(a):  # grid-invariant whole-array block
+        return pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    scalars = jnp.stack([tok0.astype(jnp.int32),
+                         seed.astype(jnp.int32),
+                         jnp.int32(0), jnp.int32(0)])
+
+    def lw(name):
+        t: QTensor = layers[name]
+        return t.q, t.scale.astype(jnp.float32)
+
+    q_q, q_s = lw("q_proj")
+    k_q, k_s = lw("k_proj")
+    v_q, v_s = lw("v_proj")
+    o_q, o_s = lw("o_proj")
+    g_q, g_s = lw("gate_proj")
+    u_q, u_s = lw("up_proj")
+    d_q, d_s = lw("down_proj")
+
+    operands = [
+        rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32),
+        q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
+        g_q, g_s, u_q, u_s, d_q, d_s,
+        layers["input_ln"].astype(jnp.float32),
+        layers["post_ln"].astype(jnp.float32),
+        layers["q_norm"].astype(jnp.float32),
+        layers["k_norm"].astype(jnp.float32),
+        params["final_norm"].astype(jnp.float32).reshape(1, H),
+        params["mtp_proj_w"].astype(jnp.bfloat16),
+        params["mtp_proj_b"].astype(jnp.float32).reshape(1, H),
+        kv_k,
+        embs.astype(jnp.bfloat16),
+        heads.q,
+        heads.scale.astype(jnp.float32)[:, None, :],   # (G, 1, V)
+    ]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for a in operands[:-3]:
+        in_specs.append(inv(a))
+    in_specs += [
+        pl.BlockSpec((1, V, H), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),            # codec_embs[i]
+        pl.BlockSpec((1, H, V), lambda i: (i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),            # lm_heads[i+1]
+        pl.BlockSpec((1, 1, V), lambda i: (i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    toks = pl.pallas_call(
+        kern,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((L, 2, nKV, S, Dh), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, *operands)
+
+    return toks[:, 0, 0]

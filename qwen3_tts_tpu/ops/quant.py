@@ -72,14 +72,27 @@ def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 MaybeQuant = Union[jax.Array, QTensor]
 
+# int8 matmul backend: "xla" (default) or "pallas". The Pallas kernel
+# (ops/pallas/qmatmul.py) dequantizes in-register so bf16 weights never
+# exist in HBM, but Mosaic compile of the many instances inside the fused
+# decode while_loop is currently pathological (>40 min on v5e through the
+# tunneled runtime), so XLA is the default; flip per-process with
+# QWEN3_TTS_QMATMUL=pallas once measured.
+import os as _os
 
-def matmul(x: jax.Array, w: MaybeQuant, *, use_pallas: bool = True) -> jax.Array:
+QMATMUL_BACKEND = _os.environ.get("QWEN3_TTS_QMATMUL", "xla")
+
+
+def matmul(x: jax.Array, w: MaybeQuant, *,
+           use_pallas: bool | None = None) -> jax.Array:
     """x @ w with quant-aware dispatch. Always accumulates in float32.
 
     x: (..., K); w: (K, N) dense or QTensor. Returns float32 (callers cast).
     """
     if not isinstance(w, QTensor):
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if use_pallas is None:
+        use_pallas = QMATMUL_BACKEND == "pallas"
     if use_pallas and x.ndim == 2 and jax.default_backend() == "tpu":
         from qwen3_tts_tpu.ops.pallas.qmatmul import qmatmul_pallas
         try:

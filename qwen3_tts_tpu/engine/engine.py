@@ -115,7 +115,11 @@ class TTSEngine:
         self._init_state = jax.jit(
             lambda tp, text_ids, n_text, key: self._mk_state(
                 tp, text_ids, n_text, key))
-        self.head_schedule = (8, 24, 32)
+        # (8, 56): first audio after 8 tokens (~0.15 s decode -> 0.64 s of
+        # playout), one more chunk to bank ~5 s of headroom, then phase 2
+        # finishes the utterance in a single invocation (each invocation
+        # costs ~100 ms through the tunnel)
+        self.head_schedule = (8, 56)
         self.decode_quantum = 16
         # ONE program, dynamic step budget (see gen.run_steps docstring)
         self._run_chunk = jax.jit(
@@ -266,12 +270,15 @@ class TTSEngine:
             # chunks, as in the reference's streaming client).
             with timer.stage("prefill"):
                 state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
-            pending: List[tuple] = []  # (future, start_token)
+            pending: List[tuple] = []  # (future, start_token, size)
             emitted = 0
-            sched = list(self.head_schedule)
             with timer.stage("decode+vocoder"):
-                while True:
-                    budget = sched.pop(0) if sched else VOC_CHUNK_SIZE
+                # Phase 1 — head chunks: small budgets so the first audio
+                # lands in < 300 ms. Each quantum costs a ~100 ms program
+                # invocation through the tunnel, so only the head runs
+                # chunked.
+                done = False
+                for budget in self.head_schedule:
                     state = self._run_chunk(tp, cpp, state,
                                             jnp.int32(budget))
                     # optimistic emission: dispatch the vocoder for this
@@ -298,9 +305,24 @@ class TTSEngine:
                     emitted += budget
                     if done:
                         break
-                # gather + trim emissions against the true token count
+                # Phase 2 — the head bought ~5 s of playout headroom
+                # (64 tokens of audio vs ~0.5 s of decode): finish the
+                # whole utterance in ONE invocation, then vocode the tail
+                # in 64-token windows (disjoint chunks, like the
+                # reference's streaming client).
+                if not done:
+                    state = self._run_chunk(tp, cpp, state,
+                                            jnp.int32(self.cfg.max_tokens))
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
+                while emitted < n:
+                    size = min(VOC_CHUNK_SIZE, n - emitted)
+                    chunk = np.zeros((VOC_CHUNK_SIZE, 16), np.int32)
+                    chunk[:size] = codes_np[emitted:emitted + size]
+                    fut = self._voc_chunk(vp, jnp.asarray(chunk)[None])
+                    pending.append((fut, emitted, size))
+                    emitted += size
+                # gather + trim emissions against the true token count
                 chunks = []
                 for fut, start, size in pending:
                     keep = min(size, max(n - start, 0))

@@ -50,10 +50,11 @@ def main() -> None:
     log(f"device: {jax.devices()[0]} ({jax.default_backend()})")
 
     t0 = time.perf_counter()
-    # default int8-cp: CP weight-only int8 + the VMEM-resident Pallas CP
-    # kernel (ops/pallas/cp_decode.py) — measured RTF 0.090 vs 0.119 bf16.
-    # Override with BENCH_QUANT=none / int8.
-    quant = os.environ.get("BENCH_QUANT", "int8-cp")
+    # default int8: weight-only int8 talker+CP through the Pallas dequant
+    # matmul plus the VMEM-resident Pallas CP kernel — measured RTF 0.0775
+    # vs 0.090 int8-cp vs 0.119 bf16. Override with BENCH_QUANT=none /
+    # int8-cp.
+    quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none") else quant
     engine = TTSEngine(TTSConfig(), model_dir=None, dtype=jnp.bfloat16,
                        quantize=quant)

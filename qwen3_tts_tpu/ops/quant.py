@@ -72,15 +72,15 @@ def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 MaybeQuant = Union[jax.Array, QTensor]
 
-# int8 matmul backend: "xla" (default) or "pallas". The Pallas kernel
+# int8 matmul backend: "pallas" (default) or "xla". The Pallas kernel
 # (ops/pallas/qmatmul.py) dequantizes in-register so bf16 weights never
-# exist in HBM, but Mosaic compile of the many instances inside the fused
-# decode while_loop is currently pathological (>40 min on v5e through the
-# tunneled runtime), so XLA is the default; flip per-process with
-# QWEN3_TTS_QMATMUL=pallas once measured.
+# exist in HBM. Measured on v5e (docs/BENCHMARKS.md): int8+pallas RTF
+# 0.0775 vs bf16 0.119 vs int8-through-XLA-dots 0.123 — XLA materializes
+# bf16 copies of int8 weights, defeating the bandwidth win, so only the
+# Pallas path makes int8 worthwhile. Override with QWEN3_TTS_QMATMUL=xla.
 import os as _os
 
-QMATMUL_BACKEND = _os.environ.get("QWEN3_TTS_QMATMUL", "xla")
+QMATMUL_BACKEND = _os.environ.get("QWEN3_TTS_QMATMUL", "pallas")
 
 
 def matmul(x: jax.Array, w: MaybeQuant, *,

@@ -232,6 +232,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=0,
                    help="Enable continuous batching with N slots "
                         "(concurrent requests decode together)")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int8-cp"],
+                   help="Weight-only int8 (see cli.py); the fastest "
+                        "single-request config on TPU is 'int8'")
     args = p.parse_args(argv)
 
     if args.platform != "default":
@@ -243,7 +247,15 @@ def main(argv=None) -> int:
 
     cfg = tiny_tts_config(max_tokens=32) if args.tiny else TTSConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype)
+    quantize = args.quantize
+    if quantize and args.batch > 0:
+        # batched decode amortizes weight streaming across slots, and the
+        # VMEM-resident CP kernel is batch-1 only — int8 buys nothing
+        # there (the XLA int8 dots are a measured regression)
+        print("--quantize ignored with --batch > 0", flush=True)
+        quantize = None
+    engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
+                       quantize=quantize)
     # warm the compile caches before accepting requests
     engine.synthesize("warmup", language="english", seed=0)
     batcher = None

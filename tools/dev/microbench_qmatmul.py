@@ -1,11 +1,16 @@
-"""Microbench: int8 weight-only matmul backends under real HBM streaming.
+"""Microbench: int8 weight-only matmul backends under HBM streaming.
 
-The decode loop streams ~0.9GB of weights per token; whether int8 helps
-depends on whether the backend streams int8 bytes (Pallas kernel, or XLA
-if it fuses the convert into the dot) or materializes a bf16 copy first.
-This bench loops over a STACK of L weights inside one jitted fori_loop so
-every iteration must stream a fresh weight from HBM (stack >> VMEM), and
-reports effective GB/s against the int8 byte count.
+CAUTION — measurement validity on the tunneled (axon) runtime: the relay
+executes programs lazily and appears to serve repeated identical
+(executable, inputs) pairs from a cache, so ``block_until_ready`` wall
+times here can be fiction (sub-dispatch-overhead "timings"). Trust only
+measurements that (a) vary the inputs every call AND (b) force a real
+device->host transfer of the result — or better, measure through
+``bench.py``, whose end-to-end RTF moves with real per-token cost. The
+authoritative backend comparison lives in docs/BENCHMARKS.md:
+int8+pallas RTF 0.0775 < bf16 0.119 < int8-through-XLA 0.123.
+
+Kept as a harness for eyeballing compile behavior of the three variants.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/dev/microbench_qmatmul.py
 """

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from functools import partial
 from typing import Dict, List, Optional
@@ -214,7 +215,18 @@ class TTSEngine:
     def _encode_text(self, text: str):
         ids = self.tokenizer.encode(text, add_special_tokens=False)
         n = len(ids)
+        # the padded prefix (bucket + PREFIX_EXTRA positions) must fit the
+        # KV allocation; over-long text is truncated (with a warning)
+        # rather than crashing prefill with a shape error
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+        limit = self.cfg.talker.max_seq_len - PREFIX_EXTRA
         b = _bucket(n)
+        if b > limit:
+            b = max(bk for bk in (16, 32, 64, 128, 256) if bk <= limit)
+            if n > b:
+                print(f"warning: text truncated to {b} tokens "
+                      f"(max_seq_len={self.cfg.talker.max_seq_len})",
+                      file=sys.stderr)
         padded = np.zeros((b,), np.int32)
         padded[:n] = ids[:b]
         return jnp.asarray(padded), jnp.int32(min(n, b))

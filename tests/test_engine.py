@@ -66,3 +66,31 @@ def test_cli_tiny_smoke(tmp_path):
                "--language", "english"])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_streaming_phase2_tail_windows():
+    """Long utterance: the head schedule (8+56=64 tokens) doesn't cover it,
+    so phase 2 finishes the decode in one invocation and the tail must be
+    vocoded in disjoint windows — streaming must still equal non-streaming
+    token-for-token and sample-for-sample in length."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_tts_config(max_tokens=80))
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32)
+    # ~20 byte-fallback tokens: small prefix (fits the 128-position KV with
+    # the 80-token budget), but enough that the EOS force (6x n_text) stays
+    # beyond the budget, so the decode runs well past the 64-token head
+    text = "thirty characters of test text"  # boost starts at 0.8*3*30=72
+    a = eng.synthesize(text, language="english", seed=2)
+    b = eng.synthesize(text, language="english", seed=2, streaming=True)
+    assert a.n_tokens > sum(eng.head_schedule), (
+        "test needs an utterance longer than the head schedule")
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert len(b.audio_int16) == b.n_tokens * SAMPLES_PER_TOKEN
+
+
+def test_overlong_text_truncates_instead_of_crashing(engine):
+    """Text whose padded bucket + prefix overhead exceeds max_seq_len must
+    be truncated (with a warning), not crash prefill with a shape error."""
+    res = engine.synthesize("x" * 500, language="english", seed=0)
+    assert res.n_tokens >= 0

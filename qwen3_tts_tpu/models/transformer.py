@@ -82,11 +82,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def swiglu_mlp(x: jax.Array, gate_w, up_w, down_w) -> jax.Array:
+def swiglu_mlp(x: jax.Array, gate_w, up_w, down_w,
+               gateup_w=None) -> jax.Array:
     """SwiGLU: down( silu(x@gate) * (x@up) ). Weights may be int8 QTensors
-    (weight-only quant; ops/quant.py) — matmul dispatches."""
-    g = quant.matmul(x, gate_w)
-    u = quant.matmul(x, up_w)
+    (weight-only quant; ops/quant.py) — matmul dispatches. When a fused
+    gate+up weight is present (quantize_layer_stack(fuse=True)) both
+    projections run as ONE matmul — same bytes, one kernel launch."""
+    if gateup_w is not None:
+        gu = quant.matmul(x, gateup_w)
+        I = gu.shape[-1] // 2
+        g, u = gu[..., :I], gu[..., I:]
+    else:
+        g = quant.matmul(x, gate_w)
+        u = quant.matmul(x, up_w)
     h = (silu(g) * u).astype(x.dtype)
     return quant.matmul(h, down_w).astype(x.dtype)
 
@@ -174,9 +182,17 @@ def _qkv(layer: Params, x: jax.Array, geo: TransformerGeometry,
     """
     B, T, _ = x.shape
     xf = x.reshape(B * T, -1)
-    q = quant.matmul(xf, layer["q_proj"]).reshape(B, T, -1)
-    k = quant.matmul(xf, layer["k_proj"]).reshape(B, T, -1)
-    v = quant.matmul(xf, layer["v_proj"]).reshape(B, T, -1)
+    if "qkv_proj" in layer:
+        QD = geo.num_heads * geo.head_dim
+        KVD = geo.num_kv_heads * geo.head_dim
+        qkv = quant.matmul(xf, layer["qkv_proj"])    # one fused launch
+        q = qkv[:, :QD].reshape(B, T, -1)
+        k = qkv[:, QD:QD + KVD].reshape(B, T, -1)
+        v = qkv[:, QD + KVD:].reshape(B, T, -1)
+    else:
+        q = quant.matmul(xf, layer["q_proj"]).reshape(B, T, -1)
+        k = quant.matmul(xf, layer["k_proj"]).reshape(B, T, -1)
+        v = quant.matmul(xf, layer["v_proj"]).reshape(B, T, -1)
     q = q.astype(x.dtype).reshape(B, T, geo.num_heads, geo.head_dim)
     k = k.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
     v = v.astype(x.dtype).reshape(B, T, geo.num_kv_heads, geo.head_dim)
@@ -240,7 +256,8 @@ def forward_prefill(
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"])
+                           layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
         if kv_l is not None:
             kv_l = jax.lax.dynamic_update_slice(
                 kv_l, jnp.stack([k, v]).astype(kv_l.dtype), (0, 0, 0, 0, 0))
@@ -303,7 +320,8 @@ def forward_window(
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"])
+                           layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
         return h, kv_l
 
     h, new_kv = jax.lax.scan(layer_fn, x, (params, kv_cache))
@@ -348,7 +366,8 @@ def decode_step(
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"])
+                           layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
         return h, kv_l
 
     h, new_kv = jax.lax.scan(layer_fn, x, (params, kv_cache))

@@ -105,19 +105,32 @@ def matmul(x: jax.Array, w: MaybeQuant, *,
     return out * w.scale
 
 
-def quantize_layer_stack(layers: dict) -> dict:
+def quantize_layer_stack(layers: dict, fuse: bool = False) -> dict:
     """Quantize the seven projection matrices of a stacked layer pytree;
-    norms stay dense."""
+    norms stay dense.
+
+    ``fuse=True`` additionally stores concatenated qkv / gate+up weights
+    ("qkv_proj", "gateup_proj"): q/k/v and gate/up share their input, so
+    one int8 Pallas matmul covers what would be 3 (resp. 2) kernel
+    launches — same bytes, fewer fixed costs per decode step. Per-channel
+    scales concatenate losslessly along the output axis."""
     out = dict(layers)
     for name in ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj"):
         out[name] = quantize_int8(layers[name])
+    if fuse:
+        qkv = jnp.concatenate(
+            [layers["q_proj"], layers["k_proj"], layers["v_proj"]], axis=-1)
+        gu = jnp.concatenate(
+            [layers["gate_proj"], layers["up_proj"]], axis=-1)
+        out["qkv_proj"] = quantize_int8(qkv)
+        out["gateup_proj"] = quantize_int8(gu)
     return out
 
 
 def quantize_talker(params: dict) -> dict:
     out = dict(params)
-    out["layers"] = quantize_layer_stack(params["layers"])
+    out["layers"] = quantize_layer_stack(params["layers"], fuse=True)
     out["codec_head"] = quantize_int8(params["codec_head"])
     # text projection / embeddings stay dense: used in prefill only
     return out

@@ -223,6 +223,11 @@ def decode_step(
     hidden (B, H) and the updated cache. Mirrors
     llm.get_hidden(feedback, keep_history=1)."""
     geo = tfm.geometry_of(cfg)
-    h, kv = tfm.decode_step(params["layers"], feedback, pos, kv_cache, geo)
+    if "layers_list" in params:
+        h, kv = tfm.decode_step_unrolled(params["layers_list"], feedback,
+                                         pos, kv_cache, geo)
+    else:
+        h, kv = tfm.decode_step(params["layers"], feedback, pos, kv_cache,
+                                geo)
     h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, kv

@@ -332,6 +332,52 @@ def forward_window(
 # Single-token decode step — scan over layers, KV-cache read/write
 # ---------------------------------------------------------------------------
 
+def decode_step_unrolled(
+    layers_list,           # list of L per-layer param dicts (NOT stacked)
+    x: jax.Array,          # (B, H) new-token embedding
+    pos: jax.Array,        # (B,) int32 write position
+    kv_cache: jax.Array,   # (L, 2, B, S, Hkv, Dh)
+    geo: TransformerGeometry,
+) -> Tuple[jax.Array, jax.Array]:
+    """decode_step with a Python-unrolled layer loop over per-layer weight
+    arrays. Identical math to decode_step; exists because lax.scan over a
+    stacked weight pytree lowers the per-iteration slice to a
+    dynamic-slice that XLA MATERIALIZES in HBM before each Pallas matmul —
+    ~0.7 ms/token of pure copy traffic at the talker's size (measured in a
+    device trace; docs/BENCHMARKS.md). With per-layer arrays the kernels
+    read the weights directly. Costs a bigger HLO (L x the body), which
+    only the hot B=1 decode path pays."""
+    B = x.shape[0]
+    S = kv_cache.shape[3]
+    cos, sin = rope_cos_sin(pos[:, None], geo.head_dim, geo.rope_theta)
+    key_valid = jnp.arange(S)[None, :] <= pos[:, None]
+    mask = key_valid[:, None, :]
+    b_idx = jnp.arange(B)
+
+    h = x
+    new_layers_kv = []
+    for l, layer in enumerate(layers_list):
+        kv_l = kv_cache[l]
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn[:, None, :], geo, cos, sin)  # T=1
+        new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(kv_l.dtype)
+        kv_l = kv_l.at[:, b_idx, pos].set(new_kv)
+        k_all, v_all = kv_l[0], kv_l[1]
+        if geo.attn_impl == "pallas":
+            from qwen3_tts_tpu.ops.pallas.decode_attention import (
+                decode_attention_pallas)
+            attn1 = decode_attention_pallas(q[:, 0], k_all, v_all, pos)
+        else:
+            attn1 = gqa_attention(q, k_all, v_all, mask, geo)[:, 0]
+        attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
+                           layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
+        new_layers_kv.append(kv_l)
+    return h, jnp.stack(new_layers_kv)
+
 def decode_step(
     params: Params,
     x: jax.Array,          # (B, H) new-token embedding

@@ -63,5 +63,12 @@ def qmatmul_pallas(x: jax.Array, q: jax.Array, scale: jax.Array,
             bytes_accessed=K * N + N * 4 + B * K * 2 + B * N * 4,
             transcendentals=0,
         ),
+        # NOTE: allow_input_fusion=[True]*3 (fusing the lax.scan layer
+        # slice into the operand read) was measured SLOWER (RTF 0.080 vs
+        # 0.075) — it defeats the block pipeline. The scan-slice copy
+        # problem is solved structurally instead: the talker decode step
+        # unrolls over per-layer weight arrays (transformer.py
+        # decode_step_unrolled), so no slice sits between HBM weights and
+        # this kernel.
         interpret=interpret,
     )(x, q, s2)

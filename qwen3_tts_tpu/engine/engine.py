@@ -66,6 +66,25 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256)) -> int:
     return buckets[-1]
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every entry point (CLI, daemon,
+    bench): the fused decode program takes minutes to compile through a
+    tunneled TPU. Location: $QWEN3_TTS_CACHE_DIR, else the repo-root
+    .jax_cache if writable, else ~/.cache/qwen3_tts_tpu."""
+    try:
+        cache = os.environ.get("QWEN3_TTS_CACHE_DIR")
+        if not cache:
+            repo = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            cand = os.path.join(repo, ".jax_cache")
+            cache = cand if os.access(repo, os.W_OK) else os.path.expanduser(
+                "~/.cache/qwen3_tts_tpu/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class TTSEngine:
     """Single-process TTS engine. ``model_dir=None`` runs with random
     weights (smoke/bench); pass an HF checkpoint dir for real synthesis."""
@@ -75,6 +94,7 @@ class TTSEngine:
                  dtype=jnp.bfloat16, seed: int = 0,
                  params: Optional[Dict] = None,
                  quantize: Optional[str] = None):
+        _enable_compile_cache()
         self.cfg = cfg or TTSConfig()
         self.params = params if params is not None else weights_io.load_params(
             model_dir, self.cfg, dtype, seed)

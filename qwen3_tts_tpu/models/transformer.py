@@ -355,14 +355,16 @@ def decode_step_unrolled(
     b_idx = jnp.arange(B)
 
     h = x
-    new_layers_kv = []
     for l, layer in enumerate(layers_list):
-        kv_l = kv_cache[l]
         hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
         q, k, v = _qkv(layer, hn[:, None, :], geo, cos, sin)  # T=1
-        new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(kv_l.dtype)
-        kv_l = kv_l.at[:, b_idx, pos].set(new_kv)
-        k_all, v_all = kv_l[0], kv_l[1]
+        # (B, 2, Hkv, Dh): mixed basic/advanced indexing puts the advanced
+        # (batch) dims first in the indexed result
+        new_kv = jnp.stack([k[:, 0], v[:, 0]], axis=1).astype(kv_cache.dtype)
+        # in-place scatter into the full cache (no per-layer slice copy /
+        # re-stack: the slice reads below fuse into the attention ops)
+        kv_cache = kv_cache.at[l, :, b_idx, pos].set(new_kv)
+        k_all, v_all = kv_cache[l, 0], kv_cache[l, 1]
         if geo.attn_impl == "pallas":
             from qwen3_tts_tpu.ops.pallas.decode_attention import (
                 decode_attention_pallas)
@@ -375,8 +377,7 @@ def decode_step_unrolled(
         h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
                            layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
-        new_layers_kv.append(kv_l)
-    return h, jnp.stack(new_layers_kv)
+    return h, kv_cache
 
 def decode_step(
     params: Params,

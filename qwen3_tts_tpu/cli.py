@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "VMEM-resident CP kernel; vocoder stays FP32)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace (Perfetto) to DIR")
+    p.add_argument("--prompt_dir", default=None,
+                   help="Voice-cloning prompt dir (ref_codec_tokens.npy + "
+                        "ref_text.txt) from tools/encode_reference_audio.py; "
+                        "conditions synthesis on the reference speaker")
     return p
 
 
@@ -86,7 +90,7 @@ def main(argv=None) -> int:
     with device_trace(args.profile):
         res = engine.synthesize(text, language=args.language,
                                 output=args.output, streaming=args.streaming,
-                                seed=args.seed)
+                                seed=args.seed, prompt_dir=args.prompt_dir)
     if res.n_tokens == 0:
         print("No tokens generated!")
         return 1

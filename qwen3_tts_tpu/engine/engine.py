@@ -136,6 +136,7 @@ class TTSEngine:
         self._init_state = jax.jit(
             lambda tp, text_ids, n_text, key: self._mk_state(
                 tp, text_ids, n_text, key))
+        self._init_state_cloned = jax.jit(self._mk_state_cloned)
         # (8, 56): first audio after 8 tokens (~0.15 s decode -> 0.64 s of
         # playout), one more chunk to bank ~5 s of headroom, then phase 2
         # finishes the utterance in a single invocation (each invocation
@@ -163,6 +164,66 @@ class TTSEngine:
         prefix = prefix.astype(tp["codec_embedding"].dtype)
         return gen.init_state(tp, prefix[None], plen[None], n_text[None],
                               key, self.cfg)
+
+    def _mk_state_cloned(self, tp, cp_embs, text_ids, n_text, n_target,
+                         ref_codes, n_ref, key):
+        """Voice-cloning prefill: concatenated ref+target text plus the
+        reference codec frames as continuation rows
+        (models/talker.build_prefix_cloned). EOS pacing (n_text in the
+        loop state) uses the TARGET text length only — the generated
+        audio covers the target text, not the reference transcript."""
+        prefix, plen = tk.build_prefix_cloned(
+            tp, cp_embs, text_ids, n_text, ref_codes, n_ref)
+        prefix = prefix.astype(tp["codec_embedding"].dtype)
+        return gen.init_state(tp, prefix[None], plen[None], n_target[None],
+                              key, self.cfg)
+
+    def _load_prompt(self, prompt_dir: str):
+        """Load a voice-cloning prompt_dir (ref_codec_tokens.npy +
+        optional ref_text.txt — the format tools/encode_reference_audio.py
+        writes, mirroring the reference's prep script)."""
+        codes = np.load(os.path.join(prompt_dir, "ref_codec_tokens.npy"))
+        codes = np.asarray(codes, np.int32)[:, :16]
+        txt_path = os.path.join(prompt_dir, "ref_text.txt")
+        ref_text = ""
+        if os.path.exists(txt_path):
+            with open(txt_path) as f:
+                ref_text = f.read().strip()
+        return codes, ref_text
+
+    def _prefill_cloned(self, tp, text_ids, n_text, n_target,
+                        ref_codes_np, key):
+        """Bucket the ref frames, clamp to the KV allocation, prefill with
+        LRU reuse keyed on (text, ref codes)."""
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+        S = self.cfg.talker.max_seq_len
+        text_pad = int(text_ids.shape[0])
+        limit = max(S - PREFIX_EXTRA - text_pad - 8, 0)
+        n_ref = min(len(ref_codes_np), limit)
+        if n_ref < len(ref_codes_np):
+            print(f"warning: reference audio truncated to {n_ref} frames "
+                  f"(max_seq_len={S})", file=sys.stderr)
+        b = next((bk for bk in (16, 32, 64, 128, 256)
+                  if n_ref <= bk and bk <= limit), None)
+        if b is None:
+            b = max(limit, 1)
+        padded = np.zeros((b, 16), np.int32)
+        padded[:n_ref] = ref_codes_np[:n_ref]
+
+        cp_embs = self.params["code_predictor"]["codec_embs"]
+        k = (tuple(np.asarray(text_ids).tolist()), int(n_text),
+             padded.tobytes(), int(n_ref))
+        hit = self._prefix_cache.pop(k, None)
+        if hit is not None:
+            self._prefix_cache[k] = hit
+            return hit._replace(key=key)
+        state = self._init_state_cloned(
+            tp, cp_embs, text_ids, n_text, jnp.int32(n_target),
+            jnp.asarray(padded), jnp.int32(n_ref), key)
+        self._prefix_cache[k] = state
+        while len(self._prefix_cache) > self._prefix_cache_cap:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        return state
 
     # ------------------------------------------------------------------
     def _maybe_cached_prefill(self, tp, text_ids, n_text, key):
@@ -253,13 +314,19 @@ class TTSEngine:
 
     def synthesize(self, text: str, language: str = "russian",
                    output: Optional[str] = None, streaming: bool = False,
-                   seed: int = 0) -> SynthesisResult:
+                   seed: int = 0,
+                   prompt_dir: Optional[str] = None) -> SynthesisResult:
         """Full pipeline: text -> codes -> audio. Mirrors
         Qwen3TTSClient.synthesize (tts_client.py:110-271).
 
         ``language`` is validated against the supported set; as in the
         reference it does not alter prefix construction
         (llamacpp_talker_server.py:121 accepts-but-ignores it).
+
+        ``prompt_dir``: voice-cloning prompt produced by
+        tools/encode_reference_audio.py (ref codec tokens + transcript);
+        the reference speaker's frames condition the decode in-context
+        (models/talker.build_prefix_cloned).
         """
         if language not in SUPPORTED_LANGUAGES:
             raise ValueError(
@@ -273,14 +340,29 @@ class TTSEngine:
         vp = self.params["vocoder"]
 
         with timer.stage("tokenize"):
-            text_ids, n_text = self._encode_text(text)
+            prompt = None
+            if prompt_dir is not None:
+                ref_codes_np, ref_text = self._load_prompt(prompt_dir)
+                full = (ref_text + " " + text).strip() if ref_text else text
+                text_ids, n_text = self._encode_text(full)
+                n_target = len(self.tokenizer.encode(
+                    text, add_special_tokens=False))
+                prompt = (ref_codes_np, min(n_target, int(n_text)))
+            else:
+                text_ids, n_text = self._encode_text(text)
+
+        def _prefill(k):
+            if prompt is None:
+                return self._maybe_cached_prefill(tp, text_ids, n_text, k)
+            return self._prefill_cloned(tp, text_ids, n_text, prompt[1],
+                                        prompt[0], k)
 
         first_audio_t: Optional[float] = None
         t_start = time.perf_counter()
 
         if not streaming:
             with timer.stage("decode"):
-                state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
+                state = _prefill(key)
                 state = self._decode_pipelined(tp, cpp, state)
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
@@ -301,7 +383,7 @@ class TTSEngine:
             # background vocoder threads (tts_client.py:189-197; disjoint
             # chunks, as in the reference's streaming client).
             with timer.stage("prefill"):
-                state = self._maybe_cached_prefill(tp, text_ids, n_text, key)
+                state = _prefill(key)
             pending: List[tuple] = []  # (future, start_token, size)
             emitted = 0
             with timer.stage("decode+vocoder"):

@@ -152,6 +152,53 @@ def build_prefix(
     return prefix.astype(text_e.dtype), prefix_len
 
 
+def clone_frame_embeds(params: Params, cp_codec_embs: jax.Array,
+                       ref_codes: jax.Array) -> jax.Array:
+    """Prefix-continuation embeddings for pre-encoded reference codec
+    frames (voice cloning): the exact per-step feedback formula
+    (reference dual_npu/tts_client.py:199-211) applied to [R, 16] codes —
+    ``codec_embedding[c_0] + Σ_{g=1..15} cp_codec_emb[g-1][c_g] +
+    tts_pad_embed`` per frame."""
+    ce = params["codec_embedding"]
+    tts_pad_e = embed_text(params, jnp.array([TTS_PAD_TOKEN_ID]))[0]
+    c0 = ce[ref_codes[:, 0]]                               # (R, H)
+    g_idx = jnp.arange(cp_codec_embs.shape[0])[None, :]    # (1, 15)
+    rest = jnp.sum(cp_codec_embs[g_idx, ref_codes[:, 1:]], axis=1)
+    return c0 + rest.astype(c0.dtype) + tts_pad_e[None, :]
+
+
+def build_prefix_cloned(
+    params: Params,
+    cp_codec_embs: jax.Array,   # (15, 2048, H) CP per-group embed tables
+    text_token_ids: jax.Array,  # (N_pad,) ref_text ++ target_text ids
+    n_text: jax.Array,          # scalar: true total text tokens
+    ref_codes: jax.Array,       # (R_pad, 16) int32 reference codec frames
+    n_ref: jax.Array,           # scalar: true number of reference frames
+) -> Tuple[jax.Array, jax.Array]:
+    """In-context voice-cloning prefix: the standard dual-stream prefix
+    over the concatenated (reference + target) text, followed by the
+    reference audio's codec frames as continuation embeddings, so the
+    decode loop continues the reference speaker's audio into the target
+    text. Consumes the prompt_dir that scripts/encode_reference_audio.py
+    produces — a capability the reference preps but never serves
+    (SURVEY §0 'Voice cloning path').
+
+    Returns (prefix (N_pad + PREFIX_EXTRA + R_pad, H),
+    prefix_len = n_text + PREFIX_EXTRA + n_ref)."""
+    prefix, plen = build_prefix(params, text_token_ids, n_text)
+    frames = clone_frame_embeds(params, cp_codec_embs,
+                                ref_codes).astype(prefix.dtype)
+    R, H = frames.shape
+    out = jnp.concatenate(
+        [prefix, jnp.zeros((R, H), prefix.dtype)], axis=0)
+    vals = jnp.where((jnp.arange(R) < n_ref)[:, None], frames,
+                     jnp.zeros_like(frames))
+    # rows >= plen of the base prefix are exactly zero (build_prefix masks
+    # them), so scatter-add places the frames at [plen : plen + n_ref)
+    out = out.at[plen + jnp.arange(R)].add(vals)
+    return out, plen + n_ref.astype(jnp.int32)
+
+
 def prefill(
     params: Params,
     prefix: jax.Array,      # (B, P_pad, H)

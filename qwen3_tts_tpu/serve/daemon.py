@@ -79,6 +79,7 @@ class TTSDaemon:
                 language=msg.get("language", "russian"),
                 streaming=bool(msg.get("streaming", False)),
                 seed=int(msg.get("seed", 0)),
+                prompt_dir=msg.get("prompt_dir"),
             )
             header = {
                 "n_samples": int(len(res.audio_int16)),
@@ -198,9 +199,11 @@ class DaemonClient:
         self.socket_path = socket_path
 
     def synthesize(self, text: str, language: str = "russian",
-                   streaming: bool = False, seed: int = 0):
+                   streaming: bool = False, seed: int = 0,
+                   prompt_dir=None):
         msg = json.dumps({"text": text, "language": language,
-                          "streaming": streaming, "seed": seed}).encode()
+                          "streaming": streaming, "seed": seed,
+                          "prompt_dir": prompt_dir}).encode()
         c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         c.connect(self.socket_path)
         try:

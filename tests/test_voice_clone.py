@@ -1,0 +1,104 @@
+"""Voice-cloning conditioning tests: the cloned dual-stream prefix
+(models/talker.build_prefix_cloned) and the engine prompt_dir path.
+
+The reference repo only PREPS the prompt_dir (scripts/
+encode_reference_audio.py); its servers never consume it (SURVEY §0).
+Here the prompt conditions the decode in-context: ref frames enter the
+prefix via the exact feedback formula (tts_client.py:199-211)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.config import tiny_tts_config
+from qwen3_tts_tpu.engine.engine import TTSEngine
+from qwen3_tts_tpu.io import weights as weights_io
+from qwen3_tts_tpu.models import talker as tk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_tts_config(max_tokens=8)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_cloned_prefix_layout(setup):
+    """Frames occupy rows [base_len, base_len + n_ref) with the feedback
+    formula; everything before matches the plain prefix; rows after the
+    masked frames are zero."""
+    cfg, params = setup
+    tp = params["talker"]
+    cp_embs = params["code_predictor"]["codec_embs"]
+    ids = jnp.arange(5, dtype=jnp.int32)
+    n_text = jnp.int32(5)
+    V = cfg.code_predictor.group_vocab_size
+
+    ref = jax.random.randint(jax.random.PRNGKey(1), (6, 16), 0, V, jnp.int32)
+    n_ref = jnp.int32(4)
+
+    base, base_len = tk.build_prefix(tp, ids, n_text)
+    cloned, clen = tk.build_prefix_cloned(tp, cp_embs, ids, n_text, ref,
+                                          n_ref)
+    assert int(clen) == int(base_len) + 4
+    assert cloned.shape[0] == base.shape[0] + 6
+
+    np.testing.assert_allclose(np.asarray(cloned[:int(base_len)]),
+                               np.asarray(base[:int(base_len)]), rtol=1e-6)
+    frames = tk.clone_frame_embeds(tp, cp_embs, ref)
+    np.testing.assert_allclose(
+        np.asarray(cloned[int(base_len):int(clen)]),
+        np.asarray(frames[:4]), rtol=1e-5, atol=1e-5)
+    # masked-off frames (and base padding rows) contribute nothing
+    assert float(jnp.abs(cloned[int(clen):]).max()) == 0.0
+
+
+def test_feedback_formula(setup):
+    """clone_frame_embeds == codec_emb[c0] + sum of CP group embeds +
+    tts_pad_embed (tts_client.py:199-211)."""
+    cfg, params = setup
+    tp = params["talker"]
+    cp_embs = np.asarray(params["code_predictor"]["codec_embs"])
+    codes = np.array([[5, *range(15)]], np.int32)
+    got = np.asarray(tk.clone_frame_embeds(
+        tp, jnp.asarray(cp_embs), jnp.asarray(codes)))[0]
+    ce = np.asarray(tp["codec_embedding"])
+    pad_e = np.asarray(tk.embed_text(
+        tp, jnp.array([tk.TTS_PAD_TOKEN_ID])))[0]
+    want = ce[5] + sum(cp_embs[g][g] for g in range(15)) + pad_e
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_prompt_dir(setup, tmp_path):
+    """End-to-end synthesize with a prompt_dir: runs, deterministic, and
+    conditions the output (different prompt -> different codes)."""
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+
+    def mk_prompt(name, seed):
+        d = tmp_path / name
+        d.mkdir()
+        codes = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(seed), (10, 16), 0, V, jnp.int32))
+        np.save(d / "ref_codec_tokens.npy", codes.astype(np.int64))
+        (d / "ref_text.txt").write_text("ref transcript")
+        return str(d)
+
+    p1 = mk_prompt("p1", 1)
+    p2 = mk_prompt("p2", 2)
+
+    a = eng.synthesize("hello", language="english", seed=0, prompt_dir=p1)
+    b = eng.synthesize("hello", language="english", seed=0, prompt_dir=p1)
+    c = eng.synthesize("hello", language="english", seed=0, prompt_dir=p2)
+    d = eng.synthesize("hello", language="english", seed=0)
+
+    assert a.n_tokens > 0
+    np.testing.assert_array_equal(a.codes, b.codes)  # deterministic + cache
+    assert not np.array_equal(a.codes, c.codes)      # prompt conditions
+    assert not np.array_equal(a.codes, d.codes)      # differs from no-prompt

@@ -89,13 +89,27 @@ class ContinuousBatcher:
     """Fixed-slot continuous batching scheduler over the fused decode loop."""
 
     def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
-                 decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None):
+                 decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None,
+                 quantize_talker: bool = False):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
         (parallel/mesh.py) — the v5e-4 serving configuration. The
-        scheduler logic itself is mesh-agnostic."""
+        scheduler logic itself is mesh-agnostic.
+
+        ``quantize_talker``: weight-only int8 for the TALKER only.
+        Measured SLOWER than bf16 at batch 4 (8.1 vs 17.7 audio-s/s —
+        batching amortizes weight streaming so int8 only adds overhead);
+        kept as an experimentation knob, off by default. Single-chip only
+        (the int8 sharding specs aren't defined for the mesh path)."""
         self.cfg = cfg
+        if quantize_talker and mesh is None:
+            from qwen3_tts_tpu.ops import quant as quant_ops
+            from qwen3_tts_tpu.ops.quant import QTensor
+            if not isinstance(params["talker"]["layers"]["q_proj"], QTensor):
+                params = {**params,
+                          "talker": quant_ops.quantize_talker(
+                              params["talker"])}
         self.mesh = mesh
         if mesh is not None:
             from qwen3_tts_tpu.parallel import mesh as pmesh

@@ -235,6 +235,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=0,
                    help="Enable continuous batching with N slots "
                         "(concurrent requests decode together)")
+    p.add_argument("--decode_chunk", type=int, default=32,
+                   help="Batched-mode decode steps per scheduler "
+                        "iteration: larger = more throughput (48: 17.7 "
+                        "audio-s/s at batch 4), smaller = faster "
+                        "admission of new requests")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
@@ -252,10 +257,12 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     quantize = args.quantize
     if quantize and args.batch > 0:
-        # batched decode amortizes weight streaming across slots, and the
-        # VMEM-resident CP kernel is batch-1 only — int8 buys nothing
-        # there (the XLA int8 dots are a measured regression)
-        print("--quantize ignored with --batch > 0", flush=True)
+        # measured on v5e (tools/dev/bench_serving.py): at batch 4 the
+        # bf16 scan path hits 17.7 audio-s/s while talker-int8 drops to
+        # 8.1 — batching amortizes weight streaming, so int8 only adds
+        # overhead. Ignore the flag rather than serve slower.
+        print("--quantize ignored with --batch > 0 (bf16 is faster "
+              "batched; docs/BENCHMARKS.md)", flush=True)
         quantize = None
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        quantize=quantize)
@@ -265,7 +272,8 @@ def main(argv=None) -> int:
     if args.batch > 0:
         from qwen3_tts_tpu.serve.batching import ContinuousBatcher
         batcher = ContinuousBatcher(cfg, engine.params,
-                                    batch_size=args.batch, dtype=dtype)
+                                    batch_size=args.batch, dtype=dtype,
+                                    decode_chunk=args.decode_chunk)
     daemon = TTSDaemon(engine, args.socket, batcher=batcher)
     print(f"TTS daemon listening on {args.socket}", flush=True)
     daemon.serve(native_loop=not args.python_loop)

@@ -1,0 +1,85 @@
+"""Serving-tier bench: continuous-batching throughput on one chip.
+
+Submits N concurrent requests to the ContinuousBatcher (the daemon's
+--batch engine) and reports aggregate throughput: generated audio seconds
+per wall second (an aggregate RTF^-1), tokens/s, and per-request latency.
+The single-request path optimizes latency (bench.py); this measures how
+far one chip goes under concurrent load — the BASELINE.json config #5
+('daemon serving with continuous batching') on v5e-1.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/dev/bench_serving.py [batch]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    qt = len(sys.argv) > 3 and sys.argv[3] == "int8"
+    n_requests = batch * 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import TTSConfig
+    from qwen3_tts_tpu.engine.engine import TTSEngine, _enable_compile_cache
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    _enable_compile_cache()
+    print(f"device: {jax.devices()[0]}  batch={batch} chunk={chunk} "
+          f"int8_talker={qt} requests={n_requests}",
+          file=sys.stderr, flush=True)
+
+    cfg = TTSConfig()
+    engine = TTSEngine(cfg, model_dir=None, dtype=jnp.bfloat16)
+    b = ContinuousBatcher(cfg, engine.params, batch_size=batch,
+                          decode_chunk=chunk, dtype=jnp.bfloat16,
+                          quantize_talker=qt)
+    texts = [f"benchmark sentence number {i} with some words."
+             for i in range(n_requests)]
+
+    # warmup (compile insert/run/vocoder programs)
+    ids, n = engine._encode_text("warmup!")
+    wfut = b.submit(np.asarray(ids), int(n), seed=0)
+    t0 = time.perf_counter()
+    while not wfut.done():
+        b.step()
+        if time.perf_counter() - t0 > 3000:
+            raise TimeoutError("warmup")
+    print(f"warmup done: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    futs = []
+    t0 = time.perf_counter()
+    for i, t in enumerate(texts):
+        ids, n = engine._encode_text(t)
+        futs.append(b.submit(np.asarray(ids), int(n), seed=i))
+    while not all(f.done() for f in futs):
+        b.step()
+    wall = time.perf_counter() - t0
+
+    tokens = audio_s = 0
+    for f in futs:
+        codes, audio = f.result(timeout=1)
+        tokens += len(codes)
+        audio_s += len(audio) / 24000.0
+    print(f"requests={n_requests} wall={wall:.2f}s tokens={tokens} "
+          f"audio={audio_s:.1f}s  throughput={audio_s / wall:.2f} "
+          f"audio-s/s  {tokens / wall:.0f} tok/s  "
+          f"aggregate-RTF={wall / audio_s:.4f}", file=sys.stderr, flush=True)
+    import json
+    print(json.dumps({"metric": "serving_throughput", "batch": batch,
+                      "value": round(audio_s / wall, 2),
+                      "unit": "audio_seconds_per_second",
+                      "aggregate_rtf": round(wall / audio_s, 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

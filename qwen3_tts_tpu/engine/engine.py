@@ -211,19 +211,32 @@ class TTSEngine:
         padded[:n_ref] = ref_codes_np[:n_ref]
 
         cp_embs = self.params["code_predictor"]["codec_embs"]
+        # n_target is baked into the cached state's EOS pacing, so it must
+        # be part of the key (same full text + ref codes with a different
+        # ref/target split is a different state)
         k = (tuple(np.asarray(text_ids).tolist()), int(n_text),
-             padded.tobytes(), int(n_ref))
-        hit = self._prefix_cache.pop(k, None)
+             int(n_target), padded.tobytes(), int(n_ref))
+        hit = self._cache_get(k, key)
         if hit is not None:
-            self._prefix_cache[k] = hit
-            return hit._replace(key=key)
+            return hit
         state = self._init_state_cloned(
             tp, cp_embs, text_ids, n_text, jnp.int32(n_target),
             jnp.asarray(padded), jnp.int32(n_ref), key)
+        self._cache_put(k, state)
+        return state
+
+    # -- prefix-state LRU (shared by the plain and cloned paths) -------
+    def _cache_get(self, k, key):
+        hit = self._prefix_cache.pop(k, None)
+        if hit is not None:
+            self._prefix_cache[k] = hit  # refresh LRU order
+            return hit._replace(key=key)
+        return None
+
+    def _cache_put(self, k, state) -> None:
         self._prefix_cache[k] = state
         while len(self._prefix_cache) > self._prefix_cache_cap:
             self._prefix_cache.pop(next(iter(self._prefix_cache)))
-        return state
 
     # ------------------------------------------------------------------
     def _maybe_cached_prefill(self, tp, text_ids, n_text, key):
@@ -235,10 +248,9 @@ class TTSEngine:
         keyed by the exact (text_ids, n_text); LRU-bounded.
         """
         k = (tuple(np.asarray(text_ids).tolist()), int(n_text))
-        hit = self._prefix_cache.pop(k, None)
+        hit = self._cache_get(k, key)
         if hit is not None:
-            self._prefix_cache[k] = hit  # refresh LRU order
-            return hit._replace(key=key)
+            return hit
         state = None
         disk_path = None
         if self.kv_cache_dir is not None:
@@ -259,9 +271,7 @@ class TTSEngine:
                     self._save_state_npz(disk_path, state)
                 except Exception:
                     pass
-        self._prefix_cache[k] = state
-        while len(self._prefix_cache) > self._prefix_cache_cap:
-            self._prefix_cache.pop(next(iter(self._prefix_cache)))
+        self._cache_put(k, state)
         return state
 
     def _save_state_npz(self, path: str, state) -> None:
@@ -303,11 +313,14 @@ class TTSEngine:
         limit = self.cfg.talker.max_seq_len - PREFIX_EXTRA
         b = _bucket(n)
         if b > limit:
-            b = max(bk for bk in (16, 32, 64, 128, 256) if bk <= limit)
-            if n > b:
-                print(f"warning: text truncated to {b} tokens "
-                      f"(max_seq_len={self.cfg.talker.max_seq_len})",
-                      file=sys.stderr)
+            fits = [bk for bk in (16, 32, 64, 128, 256) if bk <= limit]
+            b = fits[-1] if fits else max(limit, 1)
+        if n > b:
+            # covers both the KV-limit clamp above and the largest-bucket
+            # (256) cap inside _bucket — never truncate silently
+            print(f"warning: text truncated to {b} of {n} tokens "
+                  f"(max_seq_len={self.cfg.talker.max_seq_len})",
+                  file=sys.stderr)
         padded = np.zeros((b,), np.int32)
         padded[:n] = ids[:b]
         return jnp.asarray(padded), jnp.int32(min(n, b))

@@ -255,8 +255,8 @@ def forward_prefill(
                             layer["o_proj"]).reshape(B_, T_, -1).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
-        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"],
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
         if kv_l is not None:
             kv_l = jax.lax.dynamic_update_slice(
@@ -319,8 +319,8 @@ def forward_window(
                             layer["o_proj"]).reshape(B, C, -1).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
-        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"],
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
         return h, kv_l
 
@@ -374,8 +374,8 @@ def decode_step_unrolled(
         attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
-        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"],
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
     return h, kv_cache
 
@@ -412,8 +412,8 @@ def decode_step(
         attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
-        h = h + swiglu_mlp(hn, layer["gate_proj"], layer["up_proj"],
-                           layer["down_proj"],
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
         return h, kv_l
 

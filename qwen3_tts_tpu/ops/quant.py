@@ -125,6 +125,11 @@ def quantize_layer_stack(layers: dict, fuse: bool = False) -> dict:
             [layers["gate_proj"], layers["up_proj"]], axis=-1)
         out["qkv_proj"] = quantize_int8(qkv)
         out["gateup_proj"] = quantize_int8(gu)
+        # the separate projections are dead once fused variants exist
+        # (_qkv / swiglu_mlp prefer the fused weights) — drop them rather
+        # than hold ~0.5 GB of never-read int8 in HBM
+        for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            del out[name]
     return out
 
 

@@ -105,8 +105,7 @@ class ContinuousBatcher:
         self.cfg = cfg
         if quantize_talker and mesh is None:
             from qwen3_tts_tpu.ops import quant as quant_ops
-            from qwen3_tts_tpu.ops.quant import QTensor
-            if not isinstance(params["talker"]["layers"]["q_proj"], QTensor):
+            if "qkv_proj" not in params["talker"]["layers"]:
                 params = {**params,
                           "talker": quant_ops.quantize_talker(
                               params["talker"])}

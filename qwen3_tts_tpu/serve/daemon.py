@@ -9,7 +9,9 @@ with a pure-Python fallback.
 Protocol (little-endian, framing in the style of the reference's
 talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
-                            "max_tokens"}]
+                            "max_tokens", "prompt_dir"?}]
+  (prompt_dir — voice cloning — is engine-mode only; batched mode
+  returns an error for it rather than silently ignoring it)
   response: [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens",
                 "rtf", "total_seconds", "error"?}][int16 audio...]
 """
@@ -100,6 +102,11 @@ class TTSDaemon:
         if lang not in SUPPORTED_LANGUAGES:
             return encode_response(
                 {"error": f"unsupported language {lang!r}"}, None)
+        if msg.get("prompt_dir"):
+            return encode_response(
+                {"error": "prompt_dir (voice cloning) is not supported "
+                          "in batched mode; use an engine-mode daemon"},
+                None)
         t0 = _time.perf_counter()
         ids, n_text = self.engine._encode_text(text)
         fut = self.batcher.submit(np.asarray(ids), int(n_text),

@@ -100,3 +100,5 @@ def test_seed_determinism(setup):
     a = np.asarray(_run_kernel(qparams, tok0, kvc, ccfg, 0.8, False, seed=5))
     b = np.asarray(_run_kernel(qparams, tok0, kvc, ccfg, 0.8, False, seed=5))
     np.testing.assert_array_equal(a, b)
+    c = np.asarray(_run_kernel(qparams, tok0, kvc, ccfg, 0.8, False, seed=6))
+    assert not np.array_equal(a, c), "seed must reach the PRNG"

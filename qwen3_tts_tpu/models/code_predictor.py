@@ -78,7 +78,7 @@ def _fused_kernel_ok(params: Params, B: int,
 
     if os.environ.get("QWEN3_TTS_CP_KERNEL", "1") == "0":
         return False
-    return (B == 1
+    return (B <= 8
             and isinstance(params.get("lm_heads"), QTensor)
             and isinstance(params["layers"].get("q_proj"), QTensor)
             and jax.default_backend() == "tpu"
@@ -136,11 +136,11 @@ def predict_codes(
                                     cfg.head_dim, cfg.rope_theta)
         seed = jax.random.bits(keys[1], (), "uint32").astype(jnp.int32)
         toks14 = cp_decode_steps(
-            params, tok0[0], kv, cos, sin, seed,
+            params, tok0, kv, cos, sin, seed,
             eps=cfg.rms_norm_eps, top_k=scfg.cp_top_k,
             temperature=float(scfg.cp_temperature),
-            greedy=scfg.cp_temperature <= 0.0)
-        return jnp.concatenate([tok0[:, None], toks14[None, :]], axis=1)
+            greedy=scfg.cp_temperature <= 0.0)       # (14, B)
+        return jnp.concatenate([tok0[:, None], toks14.T], axis=1)
 
     # --- steps 1..14: embed prev with codec_emb[step-1], decode pos step+1,
     #     sample from lm_head[step] ---

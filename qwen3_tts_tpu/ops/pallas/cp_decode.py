@@ -18,20 +18,25 @@ on-chip. That is what this kernel does:
   those blocks once and revisits them on every grid step;
 - the per-step codec embedding table and lm_head use grid-indexed blocks
   (codec_embs[i], lm_heads[i+1]) that double-buffer in behind compute;
-- the KV cache (L x 2 x nKV x S x Dh ~ 656 KB) lives in VMEM scratch,
-  carried across grid steps; the sampled token is carried in SMEM;
+- the KV cache (L x 2 x 8 x nKV x S x Dh ~ 5 MB f32) lives in VMEM
+  scratch, carried across grid steps; the sampled tokens carry in a
+  VMEM (8, 128) scratch tile;
 - sampling (top-k=50 + temperature categorical —
-  code_predictor_server.py:87-92) runs in-kernel: the top-k threshold via
-  (k-1) max-extractions, then Gumbel-max over the masked, scaled logits
-  (exactly a categorical draw over the top-k softmax), using the TPU core
-  PRNG (pltpu.prng_random_bits).
+  code_predictor_server.py:87-92) runs in-kernel, vectorized per batch
+  row: the top-k threshold via (k-1) max-extractions, then Gumbel-max
+  over the masked, scaled logits (exactly a categorical draw over the
+  top-k softmax) with a counter-based hash PRNG (murmur-style finalizer;
+  identical bits on TPU and in interpret mode — pltpu.prng_* has no
+  interpret support).
 
-Batch support: B = 1 (the CLI / bench path). The batched serving tier
-keeps the XLA scan (models/code_predictor.py) — at batch >= 4 the
-per-step weight traffic is amortized across requests anyway.
+Batch support: 1 <= B <= 8. All row-parallel math runs on a fixed 8-row
+tile (one native sublane tile — the MXU cost of 8 rows equals 1); only
+the per-(batch, head) attention loops scale with the true B. This serves
+both the B=1 CLI path and the continuous-batching tier (the batched XLA
+scan re-streams CP weights 14x per token even at batch 4).
 
 Greedy mode (``temperature=0``) compiles WITHOUT the PRNG ops and takes
-pure argmax — bit-comparable to the XLA path at temperature 0, which is
+pure argmax — bit-comparable to the XLA scan at temperature 0, which is
 what the parity tests check (sampled draws can't match across different
 PRNG constructions).
 """
@@ -47,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+BP = 8  # padded batch rows (one sublane tile)
 
 
 def _rms(x, w, eps):
@@ -67,25 +73,26 @@ def _rot_mat(dh):
 
 
 def _qmm(x, q, s):
-    """x (1, K) -> (1, N) f32: int8 weight matmul with per-col scales."""
+    """x (R, K) -> (R, N) f32: int8 weight matmul with per-col scales."""
     acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     return acc * s.astype(jnp.float32).reshape(1, -1)
 
 
-def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
+def _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature, greedy):
     G = nH // nKV
 
-    def kernel(scalars,                       # SMEM (4,) i32
+    def kernel(scalars,                       # SMEM (4,) i32: [seed, ...]
+               tok0_pad,                      # (BP, 128) i32 initial tokens
                rope_cos, rope_sin,            # (S, Dh) f32
                q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
                g_q, g_s, u_q, u_s, d_q, d_s,  # int8 stacks + scales
                input_ln, post_ln, qn_w, kn_w, final_norm,
                mtp_w, mtp_b,                  # bf16 (H, H), f32 (1, H)
-               kv_in,                         # (L, 2, nKV, S, Dh) f32
+               kv_in,                         # (L, 2, BP, nKV, S, Dh) f32
                emb_blk,                       # (1, V, H) bf16: codec_embs[i]
                head_q, head_s,                # (1, H, V) int8, (1, 1, V) f32
-               out_tok,                       # (1, 8, 128) i32 per-step block
+               out_tok,                       # (1, BP, 128) i32 per step
                kv_scr, tok_scr):              # scratch
         i = pl.program_id(0)
         Dh = rope_cos.shape[-1]
@@ -93,19 +100,19 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
         @pl.when(i == 0)
         def _init():
             kv_scr[...] = kv_in[...]
-            tok_scr[0] = scalars[0]           # tok0 (group-1 code)
+            tok_scr[...] = tok0_pad[...]
 
-        tok = tok_scr[0]
+        tok_col = tok_scr[:, 0:1]             # (BP, 1) i32
         p = i + 2                             # write position (prefill = 0,1)
 
-        # --- embed previous token + small_to_mtp projection ---
+        # --- embed previous tokens + small_to_mtp projection ---
         # (dynamic row gathers at unaligned sublane offsets aren't
         # expressible in Mosaic; a one-hot MXU contraction is — and a
-        # (1,V)x(V,H) dot is ~2 MMACs, noise here)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-                  == tok).astype(jnp.bfloat16)
+        # (BP,V)x(V,H) dot is ~16 MMACs, noise here)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BP, V), 1)
+        onehot = (col == tok_col).astype(jnp.bfloat16)
         emb = jnp.dot(onehot, emb_blk[0],
-                      preferred_element_type=jnp.float32)  # (1, H)
+                      preferred_element_type=jnp.float32)  # (BP, H)
         x = jnp.dot(emb.astype(jnp.bfloat16), mtp_w[...],
                     preferred_element_type=jnp.float32)
         x = (x + mtp_b[...].astype(jnp.float32)).astype(jnp.bfloat16)
@@ -118,11 +125,14 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
         sin = jnp.sum(jnp.where(prow, rope_sin[...], 0.0), axis=0,
                       keepdims=True)
 
+        scale = 1.0 / (Dh ** 0.5)
+        kmask = (jax.lax.broadcasted_iota(jnp.int32, (G, S), 1) <= p)
         for l in range(L):
-            hn = _rms(x, input_ln[l], eps).astype(jnp.bfloat16)  # (1, H)
-            q = _qmm(hn, q_q[l], q_s[l]).reshape(nH, Dh)
-            k = _qmm(hn, k_q[l], k_s[l]).reshape(nKV, Dh)
-            v = _qmm(hn, v_q[l], v_s[l]).reshape(nKV, Dh)
+            hn = _rms(x, input_ln[l], eps).astype(jnp.bfloat16)  # (BP, H)
+            # (BP*nH, Dh) rows: b-major, head-minor — one 2D tile, no 3D
+            q = _qmm(hn, q_q[l], q_s[l]).reshape(BP * nH, Dh)
+            k = _qmm(hn, k_q[l], k_s[l]).reshape(BP * nKV, Dh)
+            v = _qmm(hn, v_q[l], v_s[l]).reshape(BP * nKV, Dh)
             # per-head QK-RMSNorm then RoPE (HF Qwen3Attention order)
             q = _rms(q, qn_w[l], eps)
             k = _rms(k, kn_w[l], eps)
@@ -131,30 +141,37 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
             k = k * cos + jnp.dot(k, rot,
                                   preferred_element_type=jnp.float32) * sin
 
-            # write K/V at position p; attend over [0..p]
+            # write K/V at position p; attend over [0..p] — loops over the
+            # true batch rows and kv heads only
             outs = []
-            scale = 1.0 / (Dh ** 0.5)
-            kmask = (jax.lax.broadcasted_iota(jnp.int32, (G, S), 1) <= p)
-            for h in range(nKV):
-                # masked read-modify-write of the whole (S, Dh) tile:
-                # unaligned-sublane stores aren't expressible in Mosaic,
-                # and the tile is only S x Dh (16 x 128)
-                kh = jnp.where(prow, k[h:h + 1, :], kv_scr[l, 0, h, :, :])
-                vh = jnp.where(prow, v[h:h + 1, :], kv_scr[l, 1, h, :, :])
-                kv_scr[l, 0, h, :, :] = kh
-                kv_scr[l, 1, h, :, :] = vh
-                qh = q[h * G:(h + 1) * G, :]          # (G, Dh) f32
-                sc = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale  # (G, S)
-                sc = jnp.where(kmask, sc, NEG)
-                sc = sc - jnp.max(sc, axis=-1, keepdims=True)
-                e = jnp.exp(sc)
-                pb = e / jnp.sum(e, axis=-1, keepdims=True)
-                outs.append(jnp.dot(pb, kv_scr[l, 1, h, :, :],
-                                    preferred_element_type=jnp.float32))
-            attn = jnp.concatenate(outs, axis=0)       # (nH, Dh) f32
-            attn = attn.reshape(1, nH * Dh).astype(jnp.bfloat16)
+            for b in range(B):
+                for h in range(nKV):
+                    r = b * nKV + h
+                    # masked RMW of the whole (S, Dh) tile: unaligned-
+                    # sublane stores aren't expressible in Mosaic and the
+                    # tile is only S x Dh
+                    kh = jnp.where(prow, k[r:r + 1, :],
+                                   kv_scr[l, 0, b, h, :, :])
+                    vh = jnp.where(prow, v[r:r + 1, :],
+                                   kv_scr[l, 1, b, h, :, :])
+                    kv_scr[l, 0, b, h, :, :] = kh
+                    kv_scr[l, 1, b, h, :, :] = vh
+                    qh = q[b * nH + h * G:b * nH + (h + 1) * G, :]  # (G, Dh)
+                    sc = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale  # (G, S)
+                    sc = jnp.where(kmask, sc, NEG)
+                    sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+                    e = jnp.exp(sc)
+                    pb = e / jnp.sum(e, axis=-1, keepdims=True)
+                    outs.append(jnp.dot(pb, vh,
+                                        preferred_element_type=jnp.float32))
+            attn = jnp.concatenate(outs, axis=0)       # (B*nH, Dh) f32
+            if B < BP:
+                attn = jnp.concatenate(
+                    [attn, jnp.zeros(((BP - B) * nH, Dh), jnp.float32)],
+                    axis=0)
+            attn = attn.reshape(BP, nH * Dh).astype(jnp.bfloat16)
             x = x + _qmm(attn, o_q[l], o_s[l]).astype(jnp.bfloat16)
 
             hn = _rms(x, post_ln[l], eps).astype(jnp.bfloat16)
@@ -164,18 +181,19 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
             x = x + _qmm(act, d_q[l], d_s[l]).astype(jnp.bfloat16)
 
         hn = _rms(x, final_norm[...], eps).astype(jnp.bfloat16)
-        logits = _qmm(hn, head_q[0], head_s[0])        # (1, V) f32
+        logits = _qmm(hn, head_q[0], head_s[0])        # (BP, V) f32
 
-        # --- top-k threshold: remove the (k-1) largest, max of rest ---
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        # --- per-row top-k threshold: remove the (k-1) largest ---
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BP, V), 1)
 
         def rm_one(_, work):
-            m = jnp.max(work)
-            first = jnp.min(jnp.where(work == m, iota, V))
+            m = jnp.max(work, axis=-1, keepdims=True)
+            first = jnp.min(jnp.where(work == m, iota, V), axis=-1,
+                            keepdims=True)
             return jnp.where(iota == first, NEG, work)
 
         rest = jax.lax.fori_loop(0, top_k - 1, rm_one, logits)
-        thr = jnp.max(rest)
+        thr = jnp.max(rest, axis=-1, keepdims=True)
         keep = logits >= thr
         masked = jnp.where(keep, logits, NEG)
 
@@ -183,21 +201,20 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
             z = masked
         else:
             # Counter-based hash PRNG (murmur3-finalizer style) in plain
-            # vector ops: identical bits on TPU and in interpret mode, and
-            # deterministic in (seed, step, lane) — no pltpu.prng_* (which
-            # has no interpret-mode support).
-            bits = (scalars[1].astype(jnp.uint32) * jnp.uint32(2654435761)
+            # vector ops, distinct per (seed, step, row, lane)
+            flat = (jax.lax.broadcasted_iota(jnp.int32, (BP, V), 0) * V
+                    + iota)
+            bits = (scalars[0].astype(jnp.uint32) * jnp.uint32(2654435761)
                     + jnp.uint32(i).astype(jnp.uint32) * jnp.uint32(40503)
-                    + iota.astype(jnp.uint32) * jnp.uint32(2246822519))
+                    + flat.astype(jnp.uint32) * jnp.uint32(2246822519))
             bits = bits ^ (bits >> 16)
             bits = bits * jnp.uint32(2246822519)
             bits = bits ^ (bits >> 13)
             bits = bits * jnp.uint32(3266489917)
             bits = bits ^ (bits >> 16)
             # u in (0, 1): 23 high bits as mantissa-grade uniform, nudged
-            # off both endpoints so -log(-log(u)) stays finite
-            # >>9 leaves 23 bits, so the int32 detour is lossless (Mosaic
-            # has no uint32->f32 cast)
+            # off both endpoints so -log(-log(u)) stays finite; the int32
+            # detour is lossless (Mosaic has no uint32->f32 cast)
             u = (bits >> 9).astype(jnp.int32).astype(jnp.float32) \
                 * (1.0 / (1 << 23))
             u = u * (1.0 - 1e-6) + 1e-7
@@ -205,10 +222,12 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
             z = jnp.where(keep, masked * (1.0 / max(temperature, 1e-6))
                           + gumbel, NEG)
 
-        zm = jnp.max(z)
-        new_tok = jnp.min(jnp.where(z == zm, iota, V)).astype(jnp.int32)
-        tok_scr[0] = new_tok
-        out_tok[0, :, :] = jnp.full((8, 128), new_tok, jnp.int32)
+        zm = jnp.max(z, axis=-1, keepdims=True)
+        new_tok = jnp.min(jnp.where(z == zm, iota, V), axis=-1,
+                          keepdims=True).astype(jnp.int32)   # (BP, 1)
+        tiled = jnp.broadcast_to(new_tok, (BP, 128))
+        tok_scr[...] = tiled
+        out_tok[0, :, :] = tiled
 
     return kernel
 
@@ -218,8 +237,8 @@ def _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy):
     static_argnames=("eps", "top_k", "temperature", "greedy", "interpret"))
 def cp_decode_steps(
     params: Dict,              # quantized CP params (ops/quant.py layout)
-    tok0: jax.Array,           # scalar int32 (group-1 code)
-    kv: jax.Array,             # (L, 2, 1, S, nKV, Dh) post-prefill cache
+    tok0: jax.Array,           # () or (B,) int32 group-1 code(s)
+    kv: jax.Array,             # (L, 2, B, S, nKV, Dh) post-prefill cache
     rope_cos: jax.Array,       # (S, Dh) f32
     rope_sin: jax.Array,
     seed: jax.Array,           # scalar int32
@@ -231,9 +250,9 @@ def cp_decode_steps(
     interpret: bool = False,
 ) -> jax.Array:
     """Run CP AR steps 1..14 in one Pallas program. Returns (14,) int32
-    (codec groups 2..15; group 1 is ``tok0``, sampled by the caller from
-    lm_head_0 after the 2-token prefill — code_predictor_server.py:127).
-    """
+    for scalar ``tok0`` or (14, B) for vector ``tok0`` (codec groups
+    2..15; group 1 is ``tok0``, sampled by the caller from lm_head_0
+    after the 2-token prefill — code_predictor_server.py:127)."""
     from qwen3_tts_tpu.ops.quant import QTensor
 
     layers = params["layers"]
@@ -247,18 +266,28 @@ def cp_decode_steps(
     V = embs.shape[1]
     n_steps = embs.shape[0] - 1               # 14
 
-    # KV layout for the kernel: (L, 2, nKV, S, Dh), B squeezed
-    kv_k = jnp.transpose(kv[:, :, 0], (0, 1, 3, 2, 4)).astype(jnp.float32)
+    scalar_tok = tok0.ndim == 0
+    tok0v = tok0.reshape(-1).astype(jnp.int32)
+    B = kv.shape[2]
+    assert tok0v.shape[0] == B and B <= BP, (tok0.shape, kv.shape)
 
-    kern = _make_kernel(L, nH, nKV, S, V, eps, top_k, temperature, greedy)
+    # KV layout for the kernel: (L, 2, BP, nKV, S, Dh)
+    kv_k = jnp.transpose(kv, (0, 1, 2, 4, 3, 5)).astype(jnp.float32)
+    if B < BP:
+        kv_k = jnp.pad(kv_k, ((0, 0), (0, 0), (0, BP - B),
+                              (0, 0), (0, 0), (0, 0)))
+    tok0_pad = jnp.zeros((BP, 128), jnp.int32).at[:B, :].set(
+        jnp.broadcast_to(tok0v[:, None], (B, 128)))
+
+    kern = _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature,
+                        greedy)
 
     def inv(a):  # grid-invariant whole-array block
         return pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    scalars = jnp.stack([tok0.astype(jnp.int32),
-                         seed.astype(jnp.int32),
-                         jnp.int32(0), jnp.int32(0)])
+    scalars = jnp.stack([seed.astype(jnp.int32),
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0)])
 
     def lw(name):
         t: QTensor = layers[name]
@@ -273,6 +302,7 @@ def cp_decode_steps(
     d_q, d_s = lw("down_proj")
 
     operands = [
+        tok0_pad,
         rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32),
         q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
         g_q, g_s, u_q, u_s, d_q, d_s,
@@ -305,12 +335,12 @@ def cp_decode_steps(
         kern,
         grid=(n_steps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, BP, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_steps, BP, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((L, 2, nKV, S, Dh), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((L, 2, BP, nKV, S, Dh), jnp.float32),
+            pltpu.VMEM((BP, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
@@ -318,4 +348,6 @@ def cp_decode_steps(
         interpret=interpret,
     )(scalars, *operands)
 
-    return toks[:, 0, 0]
+    if scalar_tok:
+        return toks[:, 0, 0]
+    return toks[:, :B, 0]

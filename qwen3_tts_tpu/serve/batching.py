@@ -90,7 +90,8 @@ class ContinuousBatcher:
 
     def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
                  decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None,
-                 quantize_talker: bool = False):
+                 quantize_talker: bool = False,
+                 quantize_cp: bool = True):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
@@ -100,7 +101,12 @@ class ContinuousBatcher:
         ``quantize_talker``: weight-only int8 for the TALKER only.
         Measured SLOWER than bf16 at batch 4 (8.1 vs 17.7 audio-s/s —
         batching amortizes weight streaming so int8 only adds overhead);
-        kept as an experimentation knob, off by default. Single-chip only
+        kept as an experimentation knob, off by default.
+
+        ``quantize_cp`` (default on): int8 code predictor, which routes
+        the 14-step AR loop through the VMEM-resident Pallas kernel for
+        batch <= 8 (ops/pallas/cp_decode.py) instead of re-streaming the
+        CP layer stack 14x per token. Both knobs are single-chip only
         (the int8 sharding specs aren't defined for the mesh path)."""
         self.cfg = cfg
         if quantize_talker and mesh is None:
@@ -109,6 +115,15 @@ class ContinuousBatcher:
                 params = {**params,
                           "talker": quant_ops.quantize_talker(
                               params["talker"])}
+        if quantize_cp and mesh is None and batch_size <= 8:
+            from qwen3_tts_tpu.ops import quant as quant_ops
+            from qwen3_tts_tpu.ops.quant import QTensor
+            if not isinstance(params["code_predictor"]["lm_heads"],
+                              QTensor):
+                params = {**params,
+                          "code_predictor":
+                              quant_ops.quantize_code_predictor(
+                                  params["code_predictor"])}
         self.mesh = mesh
         if mesh is not None:
             from qwen3_tts_tpu.parallel import mesh as pmesh

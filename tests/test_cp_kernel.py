@@ -102,3 +102,56 @@ def test_seed_determinism(setup):
     np.testing.assert_array_equal(a, b)
     c = np.asarray(_run_kernel(qparams, tok0, kvc, ccfg, 0.8, False, seed=6))
     assert not np.array_equal(a, c), "seed must reach the PRNG"
+
+
+def test_batched_greedy_parity(setup):
+    """Batching correctness: every row of a B=3 kernel run must be
+    BIT-IDENTICAL to a B=1 kernel run on that row's inputs (the kernel
+    computes rows independently on a fixed 8-row tile). Against the XLA
+    scan, only prefix agreement is asserted: kernel-vs-XLA differ by
+    ~1e-6 accumulation order, which flips argmax near-ties of random
+    near-flat logits and cascades (observed from step ~7; the B=1 exact
+    test above holds for its input)."""
+    ccfg, qparams, _, _ = setup
+    B, H, S = 3, ccfg.hidden_size, ccfg.max_seq_len
+    hidden = jax.random.normal(jax.random.PRNGKey(4), (B, H), jnp.bfloat16)
+    c0e = jax.random.normal(jax.random.PRNGKey(5), (B, H), jnp.bfloat16)
+
+    scfg = C.SamplingConfig(cp_temperature=0.0)
+    codes_xla = np.asarray(
+        cp.predict_codes(qparams, hidden, c0e, jax.random.PRNGKey(6),
+                         ccfg, scfg))  # (B, 15)
+
+    def prefill(hid, ce):
+        b = hid.shape[0]
+        geo = tfm.geometry_of(ccfg)
+        kvc = tfm.init_kv_cache(geo, b, S, dtype=hid.dtype)
+        x2 = cp._project_in(qparams, jnp.stack([hid, ce], axis=1))
+        pos = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (b, 2))
+        mask = tfm.causal_mask(b, 2, jnp.full((b,), 2, jnp.int32))
+        h, kvc = tfm.forward_prefill(qparams["layers"], x2, pos, mask, geo,
+                                     kv_cache=kvc)
+        h = tfm.rms_norm(h, qparams["final_norm"], ccfg.rms_norm_eps)
+        t0 = jnp.argmax(quant.matmul(h[:, -1], qparams["lm_heads"][0]),
+                        axis=-1).astype(jnp.int32)
+        return t0, kvc
+
+    cos, sin = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
+                                ccfg.head_dim, ccfg.rope_theta)
+    kw = dict(eps=ccfg.rms_norm_eps, top_k=50, temperature=0.0,
+              greedy=True, interpret=True)
+
+    tok0, kvc = prefill(hidden, c0e)
+    np.testing.assert_array_equal(np.asarray(tok0), codes_xla[:, 0])
+    toks_b = np.asarray(cp_decode_steps(qparams, tok0, kvc, cos, sin,
+                                        jnp.int32(7), **kw))  # (14, B)
+
+    for i in range(B):
+        t0_i, kv_i = prefill(hidden[i:i + 1], c0e[i:i + 1])
+        t_i = np.asarray(cp_decode_steps(qparams, t0_i[0], kv_i, cos, sin,
+                                         jnp.int32(7), **kw))
+        np.testing.assert_array_equal(toks_b[:, i], t_i)   # exact
+        prefix = (toks_b[:, i] == codes_xla[i, 1:]).argmin()
+        if (toks_b[:, i] == codes_xla[i, 1:]).all():
+            prefix = 14
+        assert prefix >= 4, f"row {i}: XLA prefix agreement only {prefix}"

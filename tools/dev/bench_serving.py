@@ -38,9 +38,10 @@ def main() -> int:
 
     cfg = TTSConfig()
     engine = TTSEngine(cfg, model_dir=None, dtype=jnp.bfloat16)
+    qcp = "nocp" not in sys.argv
     b = ContinuousBatcher(cfg, engine.params, batch_size=batch,
                           decode_chunk=chunk, dtype=jnp.bfloat16,
-                          quantize_talker=qt)
+                          quantize_talker=qt, quantize_cp=qcp)
     texts = [f"benchmark sentence number {i} with some words."
              for i in range(n_requests)]
 

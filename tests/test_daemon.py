@@ -92,3 +92,28 @@ def test_daemon_batched_concurrent(engine, tmp_path):
     finally:
         daemon.stop()
         t.join(timeout=10)
+
+
+def test_daemon_batched_rejects_prompt_dir(engine, tmp_path):
+    """Batched mode must return an explicit error for the voice-cloning
+    prompt_dir (engine-mode only) rather than silently serving the
+    default voice."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    sock = str(tmp_path / "tts_b2.sock")
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, sock, batcher=batcher)
+    t = threading.Thread(target=daemon.serve, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.05)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="prompt_dir"):
+            DaemonClient(sock).synthesize("hi", language="english",
+                                          prompt_dir="/nonexistent")
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

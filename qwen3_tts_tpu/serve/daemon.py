@@ -212,7 +212,17 @@ class DaemonClient:
                           "streaming": streaming, "seed": seed,
                           "prompt_dir": prompt_dir}).encode()
         c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        c.connect(self.socket_path)
+        # the daemon may still be binding (or briefly backlogged) right
+        # after start; a short retry makes clients robust to that window
+        import time as _time
+        for attempt in range(5):
+            try:
+                c.connect(self.socket_path)
+                break
+            except (ConnectionRefusedError, FileNotFoundError):
+                if attempt == 4:
+                    raise
+                _time.sleep(0.3 * (attempt + 1))
         try:
             c.sendall(struct.pack("<I", len(msg)) + msg)
             raw = _recv_exact(c, 4)

@@ -67,6 +67,10 @@ def main() -> None:
     t0 = time.perf_counter()
     res = engine.synthesize(warm_text, language="english", streaming=True,
                             seed=0)
+    # the non-streaming path uses the fused prefill+decode program —
+    # compile it here too so no trial eats a first-compile
+    engine.synthesize(warm_text + ".", language="english", streaming=False,
+                      seed=0)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
         f"(n={res.n_tokens})")
 

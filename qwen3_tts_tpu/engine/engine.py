@@ -147,6 +147,17 @@ class TTSEngine:
         self._run_chunk = jax.jit(
             lambda tp, cpp, s, n: gen.run_steps(tp, cpp, s, c, n))
 
+        # fused prefill+decode for cache-miss non-streaming synthesis: one
+        # program invocation for the whole utterance instead of a prefill
+        # invocation, a host round-trip, then a decode invocation. Also
+        # returns the post-prefill state so the prefix cache still works.
+        def _prefill_decode_fn(tp, cpp, text_ids, n_text, key):
+            st0 = self._mk_state(tp, text_ids, n_text, key)
+            st1 = gen.run_steps(tp, cpp, st0, c, jnp.int32(c.max_tokens))
+            return st0, st1
+
+        self._prefill_decode = jax.jit(_prefill_decode_fn)
+
         # prefix KV cache: the TPU analog of the reference's disk-persisted
         # talker KV state keyed by prefix hash
         # (llamacpp_talker_server.py:208-246) — post-prefill states are kept
@@ -375,8 +386,19 @@ class TTSEngine:
 
         if not streaming:
             with timer.stage("decode"):
-                state = _prefill(key)
-                state = self._decode_pipelined(tp, cpp, state)
+                cache_key = (tuple(np.asarray(text_ids).tolist()),
+                             int(n_text))
+                if (prompt is None and self.kv_cache_dir is None
+                        and cache_key not in self._prefix_cache):
+                    # cache miss, plain path: prefill + whole decode in
+                    # ONE program invocation; the post-prefill snapshot
+                    # still feeds the prefix cache
+                    st0, state = self._prefill_decode(
+                        tp, cpp, text_ids, n_text, key)
+                    self._cache_put(cache_key, st0)
+                else:
+                    state = _prefill(key)
+                    state = self._decode_pipelined(tp, cpp, state)
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
             with timer.stage("vocoder"):

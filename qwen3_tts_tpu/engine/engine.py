@@ -151,11 +151,14 @@ class TTSEngine:
         # program invocation for the whole utterance instead of a prefill
         # invocation, a host round-trip, then a decode invocation. Also
         # returns the post-prefill state so the prefix cache still works.
-        def _prefill_decode_fn(tp, cpp, text_ids, n_text, key):
+        def _prefill_decode_fn(tp, cpp, text_ids, n_text, key, budget):
             st0 = self._mk_state(tp, text_ids, n_text, key)
-            st1 = gen.run_steps(tp, cpp, st0, c, jnp.int32(c.max_tokens))
+            st1 = gen.run_steps(tp, cpp, st0, c, budget)
             return st0, st1
 
+        # budget is a runtime scalar, so ONE compiled program serves both
+        # the non-streaming whole-utterance run and streaming's first
+        # head chunk
         self._prefill_decode = jax.jit(_prefill_decode_fn)
 
         # prefix KV cache: the TPU analog of the reference's disk-persisted
@@ -381,23 +384,28 @@ class TTSEngine:
             return self._prefill_cloned(tp, text_ids, n_text, prompt[1],
                                         prompt[0], k)
 
+        def _prefill_fused(k, budget):
+            """Prefill + first decode budget in ONE invocation when the
+            plain-path prefix cache misses; returns (post-prefill snapshot
+            or None, advanced state). Falls back to the two-step path on
+            cache hits / prompts / disk-cache mode."""
+            cache_key = (tuple(np.asarray(text_ids).tolist()), int(n_text))
+            if (prompt is None and self.kv_cache_dir is None
+                    and cache_key not in self._prefix_cache):
+                st0, st = self._prefill_decode(tp, cpp, text_ids, n_text,
+                                               k, budget)
+                self._cache_put(cache_key, st0)
+                return st0, st
+            return None, _prefill(k)
+
         first_audio_t: Optional[float] = None
         t_start = time.perf_counter()
 
         if not streaming:
             with timer.stage("decode"):
-                cache_key = (tuple(np.asarray(text_ids).tolist()),
-                             int(n_text))
-                if (prompt is None and self.kv_cache_dir is None
-                        and cache_key not in self._prefix_cache):
-                    # cache miss, plain path: prefill + whole decode in
-                    # ONE program invocation; the post-prefill snapshot
-                    # still feeds the prefix cache
-                    st0, state = self._prefill_decode(
-                        tp, cpp, text_ids, n_text, key)
-                    self._cache_put(cache_key, st0)
-                else:
-                    state = _prefill(key)
+                st0, state = _prefill_fused(key, jnp.int32(
+                    self.cfg.max_tokens))
+                if st0 is None:  # two-step path (cache hit / prompt / disk)
                     state = self._decode_pipelined(tp, cpp, state)
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
@@ -418,7 +426,11 @@ class TTSEngine:
             # background vocoder threads (tts_client.py:189-197; disjoint
             # chunks, as in the reference's streaming client).
             with timer.stage("prefill"):
-                state = _prefill(key)
+                # first head budget fuses with prefill on cache misses
+                # (same compiled program — the budget is a runtime scalar)
+                st0, state = _prefill_fused(
+                    key, jnp.int32(self.head_schedule[0]))
+                fused_first = st0 is not None
             pending: List[tuple] = []  # (future, start_token, size)
             emitted = 0
             with timer.stage("decode+vocoder"):
@@ -427,9 +439,10 @@ class TTSEngine:
                 # invocation through the tunnel, so only the head runs
                 # chunked.
                 done = False
-                for budget in self.head_schedule:
-                    state = self._run_chunk(tp, cpp, state,
-                                            jnp.int32(budget))
+                for ci, budget in enumerate(self.head_schedule):
+                    if not (ci == 0 and fused_first):
+                        state = self._run_chunk(tp, cpp, state,
+                                                jnp.int32(budget))
                     # optimistic emission: dispatch the vocoder for this
                     # window immediately (device-value slice; rows past the
                     # true token count are zero-masked — the same zero

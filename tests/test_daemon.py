@@ -117,3 +117,50 @@ def test_daemon_batched_rejects_prompt_dir(engine, tmp_path):
     finally:
         daemon.stop()
         t.join(timeout=10)
+
+
+def test_daemon_survives_malformed_requests(engine, tmp_path):
+    """Failure-detection parity (SURVEY §5): garbage bytes, truncated
+    frames and non-JSON payloads must produce error responses or clean
+    closes — never kill the daemon."""
+    import json as _json
+    import socket as _socket
+    import struct as _struct
+
+    sock = str(tmp_path / "tts_err.sock")
+    daemon = TTSDaemon(engine, sock)
+    t = threading.Thread(target=lambda: daemon.serve(native_loop=False),
+                         daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.05)
+    try:
+        # 1. non-JSON payload -> error header
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(sock)
+        payload = b"\x00not json at all"
+        c.sendall(_struct.pack("<I", len(payload)) + payload)
+        raw = c.recv(4)
+        n = _struct.unpack("<I", raw)[0]
+        buf = b""
+        while len(buf) < n:
+            buf += c.recv(n - len(buf))
+        hdr_len = _struct.unpack("<I", buf[:4])[0]
+        hdr = _json.loads(buf[4:4 + hdr_len])
+        assert "error" in hdr
+        c.close()
+
+        # 2. truncated frame (declared 100 bytes, send 3, hang up)
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(sock)
+        c.sendall(_struct.pack("<I", 100) + b"abc")
+        c.close()
+
+        # 3. daemon still serves real requests afterwards
+        hdr, audio = DaemonClient(sock).synthesize("still alive",
+                                                   language="english")
+        assert hdr["n_tokens"] > 0 and len(audio) > 0
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

@@ -102,3 +102,24 @@ def test_engine_prompt_dir(setup, tmp_path):
     np.testing.assert_array_equal(a.codes, b.codes)  # deterministic + cache
     assert not np.array_equal(a.codes, c.codes)      # prompt conditions
     assert not np.array_equal(a.codes, d.codes)      # differs from no-prompt
+
+
+def test_streaming_with_prompt_dir(setup, tmp_path):
+    """Voice cloning composes with streaming: the cloned prefill feeds the
+    head-chunk schedule and streaming equals non-streaming codes."""
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+    d = tmp_path / "ps"
+    d.mkdir()
+    codes = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(3), (6, 16), 0, V, jnp.int32))
+    np.save(d / "ref_codec_tokens.npy", codes.astype(np.int64))
+    (d / "ref_text.txt").write_text("ref words")
+
+    a = eng.synthesize("clone me", language="english", seed=1,
+                       prompt_dir=str(d))
+    b = eng.synthesize("clone me", language="english", seed=1,
+                       prompt_dir=str(d), streaming=True)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert b.n_tokens > 0

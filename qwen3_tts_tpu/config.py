@@ -86,46 +86,98 @@ class VocoderConfig:
     The reference traces ``Qwen3TTSTokenizerV2Model.decoder``
     (export_vocoder_traced.py:74-80): input [1, T, 16] int64 codes,
     output 24 kHz audio, 1920 samples per token, Snake activations,
-    SineGen harmonic source, dilated Conv1D stacks (dilation up to 9).
-    Quantization is documented as destructive (README.md:56-64), so the
-    whole module is pinned to float32.
+    dilated Conv1D stacks (dilation up to 9). The architecture here is the
+    public Qwen codec decoder (``Qwen3OmniMoeCode2Wav`` in transformers),
+    whose default geometry reproduces every one of those contracts:
+    16 quantizers x 2048 codes, prod((8,5,4,3)) * prod((2,2)) = exactly
+    1920x upsampling, SnakeBeta, residual units at dilation (1, 3, 9),
+    causal convolutions. Quantization is documented as destructive
+    (reference README.md:56-64), so the whole module is pinned to float32.
     """
 
-    num_codebooks: int = 16
+    # codes surface
+    num_codebooks: int = 16        # num_quantizers
     codebook_size: int = 2048
-    embed_dim: int = 512
-    # Upsample factors multiply to 1920 (= SAMPLES_PER_TOKEN at 24 kHz / 12.5Hz)
-    upsample_rates: Tuple[int, ...] = (8, 6, 5, 4, 2)
-    upsample_kernel_sizes: Tuple[int, ...] = (16, 12, 10, 8, 4)
-    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
-    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 9), (1, 3, 9), (1, 3, 9))
-    # SineGen harmonic source (NSF-style)
-    num_harmonics: int = 8
-    sine_amp: float = 0.1
-    noise_std: float = 0.003
-    voiced_threshold: float = 10.0
+    # pre-transformer (sliding-window causal attention over code frames)
+    hidden_size: int = 1024
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    intermediate_size: int = 3072
+    sliding_window: int = 72
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    layer_scale_initial_scale: float = 0.01
+    # ConvNeXt upsampling stages at hidden_size channels
+    upsampling_ratios: Tuple[int, ...] = (2, 2)
+    # waveform decoder: channel halving per block, kernel = 2*rate
+    decoder_dim: int = 1536
+    upsample_rates: Tuple[int, ...] = (8, 5, 4, 3)
     sample_rate: int = 24000
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
 
     @property
     def total_upsample(self) -> int:
         out = 1
-        for r in self.upsample_rates:
+        for r in self.upsample_rates + self.upsampling_ratios:
             out *= r
         return out
+
+    @property
+    def output_crop(self) -> int:
+        """Samples the causal transposed-conv crops remove from the tail of
+        a full decode: out_len(T) = T * total_upsample - output_crop.
+        Each decoder block's ConvTranspose(k=2r, s=r) loses r frames at its
+        own resolution (verified against the torch implementation)."""
+        loss = 0
+        for r in self.upsample_rates:
+            loss = loss * r + r
+        return loss
 
 
 @dataclasses.dataclass(frozen=True)
 class EncoderConfig:
     """Speech-tokenizer *encoder* (voice-cloning prep; reference
-    scripts/encode_reference_audio.py:60-117). Mirror of the decoder:
-    strided Conv1D downsampling by 1920x, then 16-way grouped VQ."""
+    scripts/encode_reference_audio.py:60-117 uses the official encoder).
+
+    Structural mirror of the decoder (the public checkpoint's encoder
+    source is not available, so the block plan is the decoder's reversed:
+    strided causal convs with residual units at dilation (1, 3, 9) and
+    channel doubling, ConvNeXt downsampling stages, a sliding-window
+    transformer, then 16-stage residual VQ against the decoder's
+    codebooks). Tensor names mirror the decoder's under ``encoder.*`` so a
+    real checkpoint with that naming loads; anything else fails loudly."""
 
     num_codebooks: int = 16
     codebook_size: int = 2048
-    embed_dim: int = 512
-    downsample_rates: Tuple[int, ...] = (2, 4, 5, 6, 8)
-    kernel_sizes: Tuple[int, ...] = (4, 8, 10, 12, 16)
+    hidden_size: int = 1024
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    intermediate_size: int = 3072
+    sliding_window: int = 72
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    layer_scale_initial_scale: float = 0.01
+    decoder_dim: int = 1536  # mirrored channel plan
+    # downsample rates applied in order (reverse of the decoder's upsampling)
+    downsample_rates: Tuple[int, ...] = (3, 4, 5, 8)
+    downsampling_ratios: Tuple[int, ...] = (2, 2)
     sample_rate: int = 24000
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def total_downsample(self) -> int:
+        out = 1
+        for r in self.downsample_rates + self.downsampling_ratios:
+            out *= r
+        return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,17 +257,18 @@ def tiny_tts_config(max_tokens: int = 16) -> TTSConfig:
         num_groups=15, group_vocab_size=2048,
     )
     voc = VocoderConfig(
-        num_codebooks=16, codebook_size=2048, embed_dim=32,
-        upsample_rates=(8, 6, 5, 4, 2),
-        upsample_kernel_sizes=(16, 12, 10, 8, 4),
-        resblock_kernel_sizes=(3,),
-        resblock_dilations=((1, 3, 9),),
-        num_harmonics=4,
+        num_codebooks=16, codebook_size=2048,
+        hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=32, sliding_window=8,
+        decoder_dim=32,
     )
     enc = EncoderConfig(
-        num_codebooks=16, codebook_size=2048, embed_dim=32,
-        downsample_rates=(2, 4, 5, 6, 8),
-        kernel_sizes=(4, 8, 10, 12, 16),
+        num_codebooks=16, codebook_size=2048,
+        hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=32, sliding_window=8,
+        decoder_dim=32,
     )
     return TTSConfig(talker=talker, code_predictor=cp, vocoder=voc,
                      encoder=enc, max_tokens=max_tokens)

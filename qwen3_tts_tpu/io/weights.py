@@ -74,9 +74,11 @@ def load_pytree_npz(path: str, dtype=None) -> Params:
 # ---------------------------------------------------------------------------
 
 def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
-    """Load all tensors from a .safetensors file (numpy backend, no torch)."""
-    from safetensors.numpy import load_file
-    return load_file(path)
+    """Load all tensors from a .safetensors file. Routed through the
+    native/pure-Python reader (runtime/native.py) because real Qwen
+    checkpoints store bf16, which safetensors' numpy backend rejects."""
+    from qwen3_tts_tpu.runtime.native import read_safetensors
+    return read_safetensors(path)
 
 
 def _stack_layers(get: Callable[[str], np.ndarray], prefix: str,
@@ -158,6 +160,162 @@ def load_code_predictor_from_hf(weights: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# Speech-tokenizer (vocoder / encoder) loading
+# ---------------------------------------------------------------------------
+
+def _conv_w(a: np.ndarray) -> jnp.ndarray:
+    """torch Conv1d weight (Cout, Cin/groups, K) -> JAX WIO (K, Cin/g, Cout)."""
+    return jnp.asarray(np.ascontiguousarray(a.transpose(2, 1, 0)), jnp.float32)
+
+
+def _tconv_w(a: np.ndarray) -> jnp.ndarray:
+    """torch ConvTranspose1d weight (Cin, Cout, K) -> pre-flipped JAX WIO
+    (K, Cin, Cout) so causal_trans_conv1d runs it as an lhs-dilated conv."""
+    return jnp.asarray(
+        np.ascontiguousarray(a.transpose(2, 0, 1)[::-1]), jnp.float32)
+
+
+def load_vocoder_from_state_dict(sd: Dict[str, np.ndarray],
+                                 cfg) -> Params:
+    """Map the speech-tokenizer decoder's tensors (torch state_dict naming
+    of ``Qwen3OmniMoeCode2Wav`` / ``Qwen3TTSTokenizerV2Model.decoder``, with
+    any ``decoder.`` prefix already stripped) into the vocoder pytree.
+
+    Strict: raises KeyError listing every missing tensor and ValueError for
+    unconsumed ones, so key-name drift in a real checkpoint fails loudly
+    instead of synthesizing noise (round-1 advisor finding)."""
+    used = set()
+
+    def get(k: str) -> np.ndarray:
+        if k not in sd:
+            raise KeyError(f"vocoder checkpoint missing tensor: {k!r}")
+        used.add(k)
+        return np.asarray(sd[k], np.float32)
+
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+
+    def stack(fmt: str, transpose: bool) -> jnp.ndarray:
+        arrs = [get(fmt.format(i=i)) for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs), jnp.float32)
+
+    pre = "pre_transformer.layers.{i}."
+    layers = {
+        "input_ln": stack(pre + "input_layernorm.weight", False),
+        "post_ln": stack(pre + "post_attention_layernorm.weight", False),
+        "q_proj": stack(pre + "self_attn.q_proj.weight", True),
+        "k_proj": stack(pre + "self_attn.k_proj.weight", True),
+        "v_proj": stack(pre + "self_attn.v_proj.weight", True),
+        "o_proj": stack(pre + "self_attn.o_proj.weight", True),
+        "gate_proj": stack(pre + "mlp.gate_proj.weight", True),
+        "up_proj": stack(pre + "mlp.up_proj.weight", True),
+        "down_proj": stack(pre + "mlp.down_proj.weight", True),
+        "attn_scale": stack(pre + "self_attn_layer_scale.scale", False),
+        "mlp_scale": stack(pre + "mlp_layer_scale.scale", False),
+    }
+    p: Params = {
+        "code_embedding": jnp.asarray(get("code_embedding.weight"),
+                                      jnp.float32),
+        "pre": {"layers": layers,
+                "norm": jnp.asarray(get("pre_transformer.norm.weight"),
+                                    jnp.float32)},
+        "upsample": {},
+    }
+    for i in range(len(cfg.upsampling_ratios)):
+        u = f"upsample.{i}."
+        p["upsample"][str(i)] = {
+            "up_w": _tconv_w(get(u + "0.conv.weight")),
+            "up_b": jnp.asarray(get(u + "0.conv.bias"), jnp.float32),
+            "cn_dw_w": _conv_w(get(u + "1.dwconv.conv.weight")),
+            "cn_dw_b": jnp.asarray(get(u + "1.dwconv.conv.bias"), jnp.float32),
+            "cn_ln_w": jnp.asarray(get(u + "1.norm.weight"), jnp.float32),
+            "cn_ln_b": jnp.asarray(get(u + "1.norm.bias"), jnp.float32),
+            "cn_pw1_w": jnp.asarray(get(u + "1.pwconv1.weight").T, jnp.float32),
+            "cn_pw1_b": jnp.asarray(get(u + "1.pwconv1.bias"), jnp.float32),
+            "cn_pw2_w": jnp.asarray(get(u + "1.pwconv2.weight").T, jnp.float32),
+            "cn_pw2_b": jnp.asarray(get(u + "1.pwconv2.bias"), jnp.float32),
+            "cn_gamma": jnp.asarray(get(u + "1.gamma"), jnp.float32),
+        }
+    p["dec_in_w"] = _conv_w(get("decoder.0.conv.weight"))
+    p["dec_in_b"] = jnp.asarray(get("decoder.0.conv.bias"), jnp.float32)
+    p["blocks"] = {}
+    n_blocks = len(cfg.upsample_rates)
+    for i in range(n_blocks):
+        d = f"decoder.{i + 1}.block."
+        blk = {
+            "alpha": jnp.asarray(get(d + "0.alpha"), jnp.float32),
+            "beta": jnp.asarray(get(d + "0.beta"), jnp.float32),
+            "up_w": _tconv_w(get(d + "1.conv.weight")),
+            "up_b": jnp.asarray(get(d + "1.conv.bias"), jnp.float32),
+            "res": {},
+        }
+        for d_i in range(3):
+            r = d + f"{d_i + 2}."
+            blk["res"][str(d_i)] = {
+                "alpha1": jnp.asarray(get(r + "act1.alpha"), jnp.float32),
+                "beta1": jnp.asarray(get(r + "act1.beta"), jnp.float32),
+                "conv1_w": _conv_w(get(r + "conv1.conv.weight")),
+                "conv1_b": jnp.asarray(get(r + "conv1.conv.bias"), jnp.float32),
+                "alpha2": jnp.asarray(get(r + "act2.alpha"), jnp.float32),
+                "beta2": jnp.asarray(get(r + "act2.beta"), jnp.float32),
+                "conv2_w": _conv_w(get(r + "conv2.conv.weight")),
+                "conv2_b": jnp.asarray(get(r + "conv2.conv.bias"), jnp.float32),
+            }
+        p["blocks"][str(i)] = blk
+    post = f"decoder.{n_blocks + 1}."
+    p["out_alpha"] = jnp.asarray(get(post + "alpha"), jnp.float32)
+    p["out_beta"] = jnp.asarray(get(post + "beta"), jnp.float32)
+    p["out_w"] = _conv_w(get(f"decoder.{n_blocks + 2}.conv.weight"))
+    p["out_b"] = jnp.asarray(get(f"decoder.{n_blocks + 2}.conv.bias"),
+                             jnp.float32)
+
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(
+            "vocoder checkpoint has tensors the loader did not consume "
+            f"(architecture mismatch?): {sorted(unused)[:10]}"
+            f"{' ...' if len(unused) > 10 else ''}")
+    return p
+
+
+def split_speech_tokenizer_state_dict(
+    weights: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a speech_tokenizer checkpoint's flat tensors into per-module
+    state dicts keyed by top-level prefix (``decoder.``/``encoder.``; the
+    reference takes ``.decoder`` of ``Qwen3TTSTokenizerV2Model``,
+    export_vocoder_traced.py:74-80). Tensors with no recognized prefix go
+    under ''."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in weights.items():
+        for prefix in ("decoder.", "encoder."):
+            if k.startswith(prefix):
+                out.setdefault(prefix[:-1], {})[k[len(prefix):]] = v
+                break
+        else:
+            out.setdefault("", {})[k] = v
+    return out
+
+
+def load_speech_tokenizer(st_dir: str, cfg: TTSConfig) -> Dict[str, Params]:
+    """Load vocoder (and encoder, when present) from a
+    ``speech_tokenizer/`` checkpoint directory (model.safetensors)."""
+    st_path = os.path.join(st_dir, "model.safetensors")
+    weights = _load_safetensors(st_path)
+    groups = split_speech_tokenizer_state_dict(weights)
+    dec_sd = groups.get("decoder") or groups.get("")
+    if not dec_sd:
+        raise KeyError(f"no decoder tensors found in {st_path}")
+    out = {"vocoder": load_vocoder_from_state_dict(dec_sd, cfg.vocoder)}
+    if "encoder" in groups:
+        from qwen3_tts_tpu.models import encoder as enc
+        out["encoder"] = enc.load_encoder_from_state_dict(
+            groups["encoder"], cfg.encoder)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Top-level loading entry points
 # ---------------------------------------------------------------------------
 
@@ -218,10 +376,21 @@ def load_params(
     if os.path.exists(native):
         return load_pytree_npz(native)
     params = load_from_hf_checkpoint(model_dir, cfg, dtype)
+    st_dir = os.path.join(model_dir, "speech_tokenizer")
     voc_native = os.path.join(model_dir, "vocoder.npz")
-    if os.path.exists(voc_native):
+    if os.path.exists(os.path.join(st_dir, "model.safetensors")):
+        params.update(load_speech_tokenizer(st_dir, cfg))
+    elif os.path.exists(voc_native):
         params["vocoder"] = load_pytree_npz(voc_native, jnp.float32)
     else:
+        import warnings
+        warnings.warn(
+            f"{model_dir} has neither speech_tokenizer/model.safetensors "
+            "nor vocoder.npz — the vocoder is RANDOMLY INITIALIZED and "
+            "synthesis will emit noise, not speech. Provide the "
+            "checkpoint's speech_tokenizer/ directory or run "
+            "tools/convert_weights.py --speech_tokenizer.",
+            stacklevel=2)
         from qwen3_tts_tpu.models import vocoder as voc
         params["vocoder"] = voc.init_vocoder_params(
             jax.random.PRNGKey(seed), cfg.vocoder)

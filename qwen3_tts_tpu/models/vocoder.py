@@ -1,24 +1,45 @@
-"""FP32 codec-decoder (vocoder): [T, 16] int codes -> 24 kHz waveform.
+"""FP32 codec-decoder (vocoder): [B, T, 16] int codes -> 24 kHz waveform.
 
-Capability equivalent of the decoder half of the Qwen3-TTS speech tokenizer
-v2 that the reference traces to ONNX (scripts/export_vocoder_traced.py:74-80):
-16 codebooks, 1920 samples/token total upsampling, Snake activations
-``x + sin^2(alpha*x)/alpha``, an NSF/SineGen harmonic source, and dilated
-Conv1D residual stacks with dilation up to 9. The reference documents every
-quantized variant as unusable (RKNN Q8 SNR 9.5 dB, ONNX INT8 SNR 4.2 dB —
-README.md:56-64), so this module is pinned to float32 end to end.
+Faithful JAX port of the Qwen3-TTS speech-tokenizer-v2 decoder that the
+reference traces to ONNX (scripts/export_vocoder_traced.py:74-80,
+``Qwen3TTSTokenizerV2Model.decoder``). The architecture is the public Qwen
+codec decoder (``Qwen3OmniMoeCode2Wav``, transformers
+models/qwen3_omni_moe/modeling_qwen3_omni_moe.py), whose *default* geometry
+reproduces every numerical contract the reference documents for this
+vocoder: 16 quantizers x 2048 codes, exactly 1920 samples per token at
+24 kHz (README.md:139), Snake activation x + sin^2(ax)/b (README.md:58),
+dilated Conv1D residual units with dilation up to 9 (README.md:61), causal
+convolutions, FP32-only because quantization is destructive
+(README.md:56-64).
 
-TPU-native: convolutions are XLA ``conv_general_dilated`` in NWC layout
-(TPU-native conv path, MXU-tiled), everything is fixed-shape per chunk
-(64 tokens -> 122880 samples) so the whole decoder jits once; the
-overlap-crossfade chunker (port of dual_npu/vocoder_server.py:73-121) runs
-fixed-shape chunk programs and blends on device.
+Pipeline (matching the torch module tree tensor-for-tensor; golden parity
+tests live in tests/test_vocoder_golden.py):
+
+  codes (B, T, 16) -> per-quantizer embedding (offset lookup), mean over 16
+  -> pre_transformer: sliding-window causal attention (window 72, RoPE
+     theta 1e4, LayerScale, RMSNorm, SwiGLU), 8 layers at hidden 1024
+  -> 2 ConvNeXt upsampling stages (x2 each; causal depthwise k7 + LN + MLP)
+  -> waveform decoder: causal conv 1024->1536, then 4 blocks of
+     [SnakeBeta, ConvTranspose(k=2r, s=r), 3 residual units (d=1,3,9)]
+     halving channels (1536->...->96), SnakeBeta, causal conv -> 1 channel,
+     clamp to [-1, 1].
+
+TPU-native: all convs are XLA ``conv_general_dilated`` in NWC layout
+(MXU-tiled), transposed convs are lhs-dilated convs over pre-flipped
+kernels, everything is fixed-shape per chunk so each chunk geometry jits
+once. Chunked synthesis uses left-context + one-token-lookahead windows
+(the model is causal with <1 token of transposed-conv lookahead); the conv
+path is sample-exact against full decode, attention context is truncated to
+the left context (~1e-5 — the torch ``chunked_decode`` shares this
+property and additionally drops ``output_crop`` samples per chunk, which we
+don't). The reference's overlap-crossfade server (vocoder_server.py:73-121)
+is also provided for wire parity.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,19 +60,29 @@ Params = Dict[str, jax.Array]
 # ---------------------------------------------------------------------------
 
 def snake(x: jax.Array, alpha: jax.Array) -> jax.Array:
-    """Snake activation: x + sin^2(alpha * x) / alpha (per-channel alpha).
-
-    The quantization-hostile periodic activation the reference pins to FP32
-    (README.md:56-64). alpha broadcasts over (B, T, C) with shape (C,).
-    """
+    """Plain Snake: x + sin^2(alpha*x)/alpha, per-channel alpha over
+    (B, T, C). The activation family the reference pins to FP32
+    (README.md:56-64); the decoder itself uses the SnakeBeta variant."""
     a = alpha[None, None, :]
     s = jnp.sin(a * x)
     return x + s * s / (a + 1e-9)
 
 
+def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array) -> jax.Array:
+    """SnakeBeta: x + sin^2(x * e^alpha) / (e^beta + 1e-9) with raw
+    (log-scale) per-channel parameters, exactly as the torch SnakeBeta
+    module computes it. x: (B, T, C); alpha, beta: (C,)."""
+    a = jnp.exp(alpha)[None, None, :]
+    b = jnp.exp(beta)[None, None, :]
+    s = jnp.sin(x * a)
+    return x + s * s / (b + 1e-9)
+
+
 def conv1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
-           stride: int = 1, dilation: int = 1, padding: str = "SAME") -> jax.Array:
-    """x: (B, T, Cin); w: (K, Cin, Cout). 'SAME'-style symmetric padding."""
+           stride: int = 1, dilation: int = 1, padding: str = "SAME",
+           groups: int = 1) -> jax.Array:
+    """x: (B, T, Cin); w: (K, Cin/groups, Cout). 'SAME' symmetric padding
+    (used by the encoder front-end and tests), or 'VALID'."""
     if padding == "SAME":
         k_eff = (w.shape[0] - 1) * dilation + 1
         pad_l = (k_eff - 1) // 2
@@ -61,25 +92,47 @@ def conv1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
         pads = [(0, 0)]
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=pads,
-        rhs_dilation=(dilation,),
+        rhs_dilation=(dilation,), feature_group_count=groups,
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     )
     return out + b[None, None, :]
 
 
-def conv_transpose1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
-                     stride: int) -> jax.Array:
-    """Transposed conv upsampling by exactly `stride`. x: (B, T, Cin);
-    w: (K, Cin, Cout). Implemented as an lhs-dilated conv with padding
-    chosen so output length == T * stride for any K >= stride (matches
-    PyTorch ConvTranspose1d(k, s, padding=(k-s)/2) when k=2s)."""
-    k = w.shape[0]
-    total_pad = stride + k - 2
-    pad_l = total_pad // 2
-    pad_r = total_pad - pad_l
+def causal_conv1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
+                  stride: int = 1, dilation: int = 1,
+                  groups: int = 1) -> jax.Array:
+    """Causal conv with the torch CausalConvNet padding contract
+    (left pad = k_eff - stride, plus right padding to complete frames).
+    x: (B, T, Cin); w: (K, Cin/groups, Cout)."""
+    k_eff = (w.shape[0] - 1) * dilation + 1
+    pad_l = k_eff - stride
+    # extra right padding so every input frame is covered (static: shapes
+    # are known at trace time)
+    length = x.shape[1]
+    n_frames = (length - k_eff + pad_l) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + (k_eff - pad_l)
+    pad_r = ideal - length
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(pad_l, pad_r)],
+        x, w, window_strides=(stride,), padding=[(pad_l, pad_r)],
+        rhs_dilation=(dilation,), feature_group_count=groups,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out + b[None, None, :]
+
+
+def causal_trans_conv1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
+                        stride: int) -> jax.Array:
+    """Causal transposed conv matching torch CausalTransConvNet: a
+    ConvTranspose1d(k, s) whose output is cropped by ceil(k - s) on BOTH
+    sides. Implemented as an lhs-dilated conv; ``w`` must already be
+    spatially flipped and in (K, Cin, Cout) layout (see the loader).
+    Output length: (T-1)*s + k - 2*crop."""
+    k = w.shape[0]
+    crop = max(k - stride, 0)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1 - crop, k - 1 - crop)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
@@ -87,157 +140,277 @@ def conv_transpose1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
     return out + b[None, None, :]
 
 
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (w * (xf * jax.lax.rsqrt(var + eps))).astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
+               eps: float = 1e-6) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
 # ---------------------------------------------------------------------------
-# Parameter init
+# Pre-transformer (sliding-window causal attention over code frames)
+# ---------------------------------------------------------------------------
+
+def _rope(x: jax.Array, cfg: VocoderConfig) -> jax.Array:
+    """Rotary embedding over (B, T, Hh, Dh), full head_dim, positions
+    0..T-1 (chunk decode is a full forward pass; no KV cache)."""
+    B, T, Hh, Dh = x.shape
+    half = Dh // 2
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32)
+                                    / half))
+    pos = jnp.arange(T, dtype=jnp.float32)
+    freqs = pos[:, None] * inv[None, :]                      # (T, half)
+    cos = jnp.cos(freqs)[None, :, None, :]
+    sin = jnp.sin(freqs)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1)
+
+
+def _sliding_causal_mask(T: int, window: int) -> jax.Array:
+    """(T, T) bool mask: query i attends to j iff 0 <= i - j < window
+    (transformers' sliding_window_overlay semantics)."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return (j <= i) & (i - j < window)
+
+
+def pre_transformer(p: Params, x: jax.Array, cfg: VocoderConfig) -> jax.Array:
+    """x: (B, T, H) fp32 -> (B, T, H). Stacked-layer scan."""
+    B, T, H = x.shape
+    Hh, Dh = cfg.num_attention_heads, cfg.head_dim
+    mask = _sliding_causal_mask(T, cfg.sliding_window)
+    scale = Dh ** -0.5
+    eps = cfg.rms_norm_eps
+
+    def layer(h, lp):
+        r = h
+        hn = rms_norm(h, lp["input_ln"], eps)
+        q = (hn @ lp["q_proj"]).reshape(B, T, Hh, Dh)
+        k = (hn @ lp["k_proj"]).reshape(B, T, Hh, Dh)
+        v = (hn @ lp["v_proj"]).reshape(B, T, Hh, Dh)
+        q, k = _rope(q, cfg), _rope(k, cfg)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(B, T, H) @ lp["o_proj"]
+        h = r + lp["attn_scale"] * o
+        r = h
+        hn = rms_norm(h, lp["post_ln"], eps)
+        m = (jax.nn.silu(hn @ lp["gate_proj"]) * (hn @ lp["up_proj"])) \
+            @ lp["down_proj"]
+        h = r + lp["mlp_scale"] * m
+        return h, None
+
+    x, _ = jax.lax.scan(layer, x, p["layers"])
+    return rms_norm(x, p["norm"], eps)
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt upsampling stage + waveform decoder blocks
+# ---------------------------------------------------------------------------
+
+def convnext_block(p: Params, x: jax.Array) -> jax.Array:
+    """x: (B, T, C). Causal depthwise k7, LN(eps 1e-6), pw MLP with exact
+    GELU, gamma scale, residual."""
+    r = x
+    C = x.shape[-1]
+    h = causal_conv1d(x, p["cn_dw_w"], p["cn_dw_b"], groups=C)
+    h = layer_norm(h, p["cn_ln_w"], p["cn_ln_b"], 1e-6)
+    h = jax.nn.gelu(h @ p["cn_pw1_w"] + p["cn_pw1_b"], approximate=False)
+    h = h @ p["cn_pw2_w"] + p["cn_pw2_b"]
+    return r + p["cn_gamma"] * h
+
+
+def residual_unit(p: Params, x: jax.Array, dilation: int) -> jax.Array:
+    h = snake_beta(x, p["alpha1"], p["beta1"])
+    h = causal_conv1d(h, p["conv1_w"], p["conv1_b"], dilation=dilation)
+    h = snake_beta(h, p["alpha2"], p["beta2"])
+    h = causal_conv1d(h, p["conv2_w"], p["conv2_b"])
+    return x + h
+
+
+def decoder_block(p: Params, x: jax.Array, rate: int) -> jax.Array:
+    h = snake_beta(x, p["alpha"], p["beta"])
+    h = causal_trans_conv1d(h, p["up_w"], p["up_b"], stride=rate)
+    for d_i, dil in enumerate((1, 3, 9)):
+        h = residual_unit(p["res"][str(d_i)], h, dil)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def out_len(cfg: VocoderConfig, n_tokens: int) -> int:
+    """Exact sample count of a raw decode (torch-parity length)."""
+    return n_tokens * cfg.total_upsample - cfg.output_crop
+
+
+def decode_raw(params: Params, codes: jax.Array,
+               cfg: VocoderConfig) -> jax.Array:
+    """codes: (B, T, 16) int -> waveform (B, out_len(cfg, T)) float32 in
+    [-1, 1]. Bit-path-faithful to the torch forward (golden-tested)."""
+    codes = codes.astype(jnp.int32)
+    B, T, NQ = codes.shape
+    V = cfg.codebook_size
+
+    offsets = jnp.arange(NQ, dtype=jnp.int32)[None, None, :] * V
+    emb = params["code_embedding"][codes + offsets]          # (B, T, 16, H)
+    x = jnp.mean(emb.astype(jnp.float32), axis=2)            # (B, T, H)
+
+    x = pre_transformer(params["pre"], x, cfg)
+
+    for i, f in enumerate(cfg.upsampling_ratios):
+        up = params["upsample"][str(i)]
+        x = causal_trans_conv1d(x, up["up_w"], up["up_b"], stride=f)
+        x = convnext_block(up, x)
+
+    x = causal_conv1d(x, params["dec_in_w"], params["dec_in_b"])
+    for i, r in enumerate(cfg.upsample_rates):
+        x = decoder_block(params["blocks"][str(i)], x, r)
+    x = snake_beta(x, params["out_alpha"], params["out_beta"])
+    x = causal_conv1d(x, params["out_w"], params["out_b"])
+    return jnp.clip(x[:, :, 0], -1.0, 1.0)
+
+
+def decode(params: Params, codes: jax.Array, cfg: VocoderConfig,
+           key: Optional[jax.Array] = None) -> jax.Array:
+    """codes: (B, T, 16) -> (B, T*1920) float32: raw decode zero-padded to
+    the reference wrapper's advertised length (export_vocoder_traced.py:
+    46-52 reports lengths = T * total_upsample). ``key`` is accepted for
+    API stability and ignored — the decoder is deterministic."""
+    wav = decode_raw(params, codes, cfg)
+    pad = codes.shape[1] * cfg.total_upsample - wav.shape[1]
+    if pad > 0:
+        wav = jnp.pad(wav, ((0, 0), (0, pad)))
+    return wav
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (random; real weights come via io/weights.py loaders)
 # ---------------------------------------------------------------------------
 
 def init_vocoder_params(key: jax.Array, cfg: VocoderConfig) -> Params:
-    """Random init. All float32 (FP32-only module)."""
-    ks = iter(jax.random.split(key, 256))
+    """Random init with the exact tensor shapes of the torch module (in our
+    JAX layouts). All float32 — FP32-only module."""
+    ks = iter(jax.random.split(key, 512))
 
     def w(shape, fan_in=None):
         fan = fan_in if fan_in is not None else int(np.prod(shape[:-1]))
-        scale = 1.0 / math.sqrt(max(fan, 1))
-        return jax.random.uniform(next(ks), shape, jnp.float32, -scale, scale)
+        s = 1.0 / math.sqrt(max(fan, 1))
+        return jax.random.uniform(next(ks), shape, jnp.float32, -s, s)
 
-    D = cfg.embed_dim
-    p: Params = {
-        # 16 codebook tables, summed (RVQ-style)
-        "codebooks": w((cfg.num_codebooks, cfg.codebook_size, D)),
-        "pre_w": w((7, D, D)), "pre_b": jnp.zeros((D,)),
-        # F0 predictor: token-rate conv stack -> scalar f0 per frame
-        "f0_w1": w((3, D, 64)), "f0_b1": jnp.zeros((64,)),
-        "f0_w2": w((3, 64, 1)), "f0_b2": jnp.zeros((1,)),
-        # source conv: harmonics+noise -> 1 channel
-        "src_w": w((1, cfg.num_harmonics + 1, 1)), "src_b": jnp.zeros((1,)),
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+
+    layers = {
+        "input_ln": jnp.ones((L, H)), "post_ln": jnp.ones((L, H)),
+        "q_proj": w((L, H, H)), "k_proj": w((L, H, H)),
+        "v_proj": w((L, H, H)), "o_proj": w((L, H, H)),
+        "gate_proj": w((L, H, I)), "up_proj": w((L, H, I)),
+        "down_proj": w((L, I, H)),
+        "attn_scale": jnp.full((L, H), cfg.layer_scale_initial_scale),
+        "mlp_scale": jnp.full((L, H), cfg.layer_scale_initial_scale),
     }
-
-    ch = [D]
-    for _ in cfg.upsample_rates:
-        ch.append(max(ch[-1] // 2, 8))
-
-    for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        cin, cout = ch[i], ch[i + 1]
-        p[f"up{i}_alpha"] = jnp.ones((cin,))
-        p[f"up{i}_w"] = w((k, cin, cout))
-        p[f"up{i}_b"] = jnp.zeros((cout,))
-        # NSF source injection at this resolution
-        p[f"src{i}_w"] = w((2 * _stride_after(cfg, i) + 1, 1, cout))
-        p[f"src{i}_b"] = jnp.zeros((cout,))
-        for j, kr in enumerate(cfg.resblock_kernel_sizes):
-            for d_i, dil in enumerate(cfg.resblock_dilations[j]):
-                p[f"res{i}_{j}_{d_i}_alpha1"] = jnp.ones((cout,))
-                p[f"res{i}_{j}_{d_i}_w1"] = w((kr, cout, cout))
-                p[f"res{i}_{j}_{d_i}_b1"] = jnp.zeros((cout,))
-                p[f"res{i}_{j}_{d_i}_alpha2"] = jnp.ones((cout,))
-                p[f"res{i}_{j}_{d_i}_w2"] = w((kr, cout, cout))
-                p[f"res{i}_{j}_{d_i}_b2"] = jnp.zeros((cout,))
-
-    p["post_alpha"] = jnp.ones((ch[-1],))
-    p["post_w"] = w((7, ch[-1], 1))
-    p["post_b"] = jnp.zeros((1,))
+    p: Params = {
+        "code_embedding": w((cfg.num_codebooks * cfg.codebook_size, H),
+                            fan_in=H),
+        "pre": {"layers": layers, "norm": jnp.ones((H,))},
+        "upsample": {},
+    }
+    for i, f in enumerate(cfg.upsampling_ratios):
+        p["upsample"][str(i)] = {
+            "up_w": w((f, H, H)), "up_b": jnp.zeros((H,)),
+            "cn_dw_w": w((7, 1, H)), "cn_dw_b": jnp.zeros((H,)),
+            "cn_ln_w": jnp.ones((H,)), "cn_ln_b": jnp.zeros((H,)),
+            "cn_pw1_w": w((H, 4 * H)), "cn_pw1_b": jnp.zeros((4 * H,)),
+            "cn_pw2_w": w((4 * H, H)), "cn_pw2_b": jnp.zeros((H,)),
+            "cn_gamma": jnp.full((H,), 1e-6),
+        }
+    D = cfg.decoder_dim
+    p["dec_in_w"] = w((7, H, D))
+    p["dec_in_b"] = jnp.zeros((D,))
+    p["blocks"] = {}
+    cin = D
+    for i, r in enumerate(cfg.upsample_rates):
+        cout = D // (2 ** (i + 1))
+        blk = {
+            "alpha": jnp.zeros((cin,)), "beta": jnp.zeros((cin,)),
+            "up_w": w((2 * r, cin, cout)), "up_b": jnp.zeros((cout,)),
+            "res": {},
+        }
+        for d_i in range(3):
+            blk["res"][str(d_i)] = {
+                "alpha1": jnp.zeros((cout,)), "beta1": jnp.zeros((cout,)),
+                "conv1_w": w((7, cout, cout)), "conv1_b": jnp.zeros((cout,)),
+                "alpha2": jnp.zeros((cout,)), "beta2": jnp.zeros((cout,)),
+                "conv2_w": w((1, cout, cout)), "conv2_b": jnp.zeros((cout,)),
+            }
+        p["blocks"][str(i)] = blk
+        cin = cout
+    p["out_alpha"] = jnp.zeros((cin,))
+    p["out_beta"] = jnp.zeros((cin,))
+    p["out_w"] = w((7, cin, 1))
+    p["out_b"] = jnp.zeros((1,))
     return p
 
 
-def _stride_after(cfg: VocoderConfig, i: int) -> int:
-    """Downsample factor from sample rate to the resolution after stage i."""
-    s = 1
-    for r in cfg.upsample_rates[i + 1:]:
-        s *= r
-    return s
-
-
 # ---------------------------------------------------------------------------
-# SineGen (NSF harmonic source)
+# Chunked synthesis
 # ---------------------------------------------------------------------------
 
-def sine_source(params: Params, f0_frame: jax.Array, cfg: VocoderConfig,
-                key: jax.Array) -> jax.Array:
-    """f0_frame: (B, T) token-rate F0 in Hz -> (B, T*1920, 1) source signal.
+def synthesize_chunked_context(
+    decode_fn,
+    codes: np.ndarray,          # (T, 16) host array
+    chunk_tokens: int = VOC_CHUNK_SIZE,
+    context_tokens: int = 25,   # torch chunked_decode default left context
+) -> np.ndarray:
+    """Left-context + one-token-lookahead chunking (the high-quality path).
 
-    Phase-accumulated sine harmonics (cumsum of instantaneous frequency),
-    voiced/unvoiced gating, and Gaussian noise — the SineGen contract the
-    reference's NPU ports could not handle (README.md:62-63).
-    """
-    B, T = f0_frame.shape
-    up = cfg.total_upsample
-    sr = float(cfg.sample_rate)
-    # nearest-neighbour upsample of f0 to sample rate
-    f0 = jnp.repeat(f0_frame, up, axis=1)  # (B, N)
-    harmonics = jnp.arange(1, cfg.num_harmonics + 1, dtype=jnp.float32)
-    # phase accumulation per harmonic: 2*pi * cumsum(f0 * h / sr)
-    inst = f0[:, :, None] * harmonics[None, None, :] / sr   # (B, N, Hh)
-    phase = 2.0 * jnp.pi * jnp.cumsum(inst, axis=1)
-    sines = jnp.sin(phase) * cfg.sine_amp
-    voiced = (f0 > cfg.voiced_threshold).astype(jnp.float32)[:, :, None]
-    noise = jax.random.normal(key, sines.shape, jnp.float32)
-    src = sines * voiced + noise * (
-        voiced * cfg.noise_std + (1.0 - voiced) * cfg.sine_amp / 3.0)
-    # merge harmonics+noise-channel -> 1 channel
-    merged = jnp.tanh(conv1d(
-        jnp.concatenate([src, noise[:, :, :1]], axis=-1)[:, :, :cfg.num_harmonics + 1],
-        params["src_w"], params["src_b"]))
-    return merged  # (B, N, 1)
+    ``decode_fn`` is a jitted fixed-shape decoder taking
+    (1, context_tokens + chunk_tokens + 1, 16) int32 and returning
+    (1, (context+chunk+1)*1920) float32 (the padded ``decode``). Each chunk
+    re-decodes ``context_tokens`` of left context (discarded) and one token
+    of lookahead. The one-token lookahead makes the conv stack's
+    contribution exact against a full decode (its only lookahead is the
+    transposed-conv crop, under one token); left context truncates the
+    sliding-window attention's receptive field, a ~1e-5 approximation at
+    the torch ``chunked_decode``'s own default (context 25 < window 72 —
+    the official chunker has the same property). With ``context_tokens``
+    >= sequence length the output is sample-exact. The final
+    ``cfg.output_crop`` samples of the utterance decode the buffer's padded
+    zero-codes as lookahead (finite and continuous). All chunks are
+    dispatched before any is fetched so device work pipelines with host
+    assembly."""
+    n_tokens = len(codes)
+    spt = SAMPLES_PER_TOKEN
+    W = context_tokens + chunk_tokens + 1
 
+    jobs = []
+    for cs in range(0, n_tokens, chunk_tokens):
+        ce = min(cs + chunk_tokens, n_tokens)
+        ctx = min(context_tokens, cs)
+        la_end = min(ce + 1, n_tokens)           # one token of lookahead
+        buf = np.zeros((1, W, 16), np.int32)
+        seg = codes[cs - ctx:la_end, :16]
+        buf[0, :len(seg)] = seg
+        jobs.append((decode_fn(buf), ctx, ce - cs))
 
-# ---------------------------------------------------------------------------
-# Decoder forward
-# ---------------------------------------------------------------------------
+    parts = []
+    for fut, ctx, m in jobs:
+        wav = np.asarray(fut)[0]
+        parts.append(wav[ctx * spt:(ctx + m) * spt])
+    return np.concatenate(parts) if parts else np.zeros(0, np.float32)
 
-def decode(params: Params, codes: jax.Array, cfg: VocoderConfig,
-           key: jax.Array | None = None) -> jax.Array:
-    """codes: (B, T, 16) int32/int64 -> waveform (B, T*1920) float32 in [-1,1].
-
-    Deterministic by default (key=None uses a fixed seed for the source
-    noise so chunk decodes are reproducible).
-    """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    codes = codes.astype(jnp.int32)
-    B, T, NQ = codes.shape
-
-    # sum the 16 codebook embeddings (RVQ levels)
-    cb = params["codebooks"]  # (16, V, D)
-    x = jnp.sum(cb[jnp.arange(NQ)[None, None, :], codes], axis=2)  # (B, T, D)
-    x = x.astype(jnp.float32)
-    x = conv1d(x, params["pre_w"], params["pre_b"])
-
-    # F0 prediction at token rate
-    h = jax.nn.leaky_relu(conv1d(x, params["f0_w1"], params["f0_b1"]), 0.1)
-    f0 = jax.nn.softplus(conv1d(h, params["f0_w2"], params["f0_b2"]))[:, :, 0]
-    source = sine_source(params, f0, cfg, key)  # (B, N, 1)
-
-    for i, r in enumerate(cfg.upsample_rates):
-        x = snake(x, params[f"up{i}_alpha"])
-        x = conv_transpose1d(x, params[f"up{i}_w"], params[f"up{i}_b"], stride=r)
-        # inject the harmonic source, downsampled to this resolution
-        s = _stride_after(cfg, i)
-        src_i = conv1d(source, params[f"src{i}_w"], params[f"src{i}_b"], stride=s)
-        x = x + src_i[:, :x.shape[1], :]
-        # AMP residual stacks, averaged over kernel sizes
-        acc = None
-        for j, kr in enumerate(cfg.resblock_kernel_sizes):
-            xb = x
-            for d_i, dil in enumerate(cfg.resblock_dilations[j]):
-                h = snake(xb, params[f"res{i}_{j}_{d_i}_alpha1"])
-                h = conv1d(h, params[f"res{i}_{j}_{d_i}_w1"],
-                           params[f"res{i}_{j}_{d_i}_b1"], dilation=dil)
-                h = snake(h, params[f"res{i}_{j}_{d_i}_alpha2"])
-                h = conv1d(h, params[f"res{i}_{j}_{d_i}_w2"],
-                           params[f"res{i}_{j}_{d_i}_b2"])
-                xb = xb + h
-            acc = xb if acc is None else acc + xb
-        x = acc / len(cfg.resblock_kernel_sizes)
-
-    x = snake(x, params["post_alpha"])
-    x = conv1d(x, params["post_w"], params["post_b"])
-    wav = jnp.tanh(x)[:, :, 0]
-    return wav  # (B, T*1920)
-
-
-# ---------------------------------------------------------------------------
-# Chunked synthesis with overlap-crossfade
-# ---------------------------------------------------------------------------
 
 def synthesize_chunked(
     decode_fn,
@@ -246,14 +419,11 @@ def synthesize_chunked(
     overlap: int = VOC_OVERLAP,
 ) -> np.ndarray:
     """Port of the reference multi-chunk overlap-crossfade
-    (dual_npu/vocoder_server.py:73-121).
-
-    ``decode_fn`` is a jitted fixed-shape chunk decoder taking
-    (1, max_tokens, 16) int32 and returning (1, max_tokens*1920) float32.
-    Single chunk: zero-pad, decode, trim. Multi-chunk: advance by
-    ``max_tokens - overlap`` tokens; linear fade-out/fade-in blend over the
-    overlap region.
-    """
+    (dual_npu/vocoder_server.py:73-121), kept for wire-parity with the
+    compat vocoder server. ``decode_fn`` takes (1, max_tokens, 16) int32
+    and returns (1, max_tokens*1920) float32. Single chunk: zero-pad,
+    decode, trim. Multi-chunk: advance by ``max_tokens - overlap``; linear
+    fade-out/fade-in blend over the overlap region."""
     n_tokens = len(codes)
     spt = SAMPLES_PER_TOKEN
 
@@ -273,8 +443,7 @@ def synthesize_chunked(
 
     # dispatch every chunk before fetching any: jitted calls are async, so
     # the per-invocation dispatch latency (~60 ms through the tunneled
-    # runtime — 3x the chunk's device time) pipelines instead of
-    # serializing. Crossfade happens on host as results land, in order.
+    # runtime) pipelines instead of serializing.
     futs = [dispatch(codes[cs:min(cs + max_tokens, n_tokens)])
             for cs in range(0, n_tokens, step)]
 

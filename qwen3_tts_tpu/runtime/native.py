@@ -102,9 +102,53 @@ _ST_DTYPES = {
 }
 
 
+def _bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
+    out = np.zeros(raw_u16.shape, np.uint32)
+    out |= raw_u16.astype(np.uint32) << 16
+    return out.view(np.float32)
+
+
+class _PySafetensors:
+    """Pure-Python mmap safetensors parser (fallback when libttsrt isn't
+    built). Unlike safetensors.numpy it reads BF16 (upcast to float32) —
+    real Qwen checkpoints store weights in bf16."""
+
+    _DTYPES = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "U16": np.uint16, "U32": np.uint32, "U64": np.uint64,
+        "BOOL": np.bool_,
+    }
+
+    def __init__(self, path: str):
+        import json
+        self._mm = np.memmap(path, np.uint8, mode="r")
+        hlen = int(np.frombuffer(self._mm[:8], np.uint64)[0])
+        header = json.loads(bytes(self._mm[8:8 + hlen]).decode("utf-8"))
+        header.pop("__metadata__", None)
+        self._base = 8 + hlen
+        self._meta = header
+
+    def keys(self):
+        return list(self._meta.keys())
+
+    def tensor(self, name: str) -> np.ndarray:
+        meta = self._meta[name]
+        dt, shape = meta["dtype"], tuple(meta["shape"])
+        beg, end = meta["data_offsets"]
+        buf = self._mm[self._base + beg:self._base + end]
+        if dt == "BF16":
+            return _bf16_to_f32(
+                np.frombuffer(buf, np.uint16).reshape(shape))
+        npdt = self._DTYPES.get(dt)
+        if npdt is None:
+            raise ValueError(f"unsupported safetensors dtype {dt}")
+        return np.frombuffer(buf, npdt).reshape(shape)
+
+
 class SafetensorsFile:
     """mmap-backed zero-copy safetensors reader (native), with a
-    safetensors-package fallback."""
+    pure-Python mmap fallback. Both paths read BF16 (upcast to f32)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -114,12 +158,11 @@ class SafetensorsFile:
         if lib is not None:
             self._h = lib.ttsrt_st_open(path.encode())
         if not self._h:
-            from safetensors.numpy import load_file
-            self._fallback = load_file(path)
+            self._fallback = _PySafetensors(path)
 
     def keys(self):
         if self._fallback is not None:
-            return list(self._fallback.keys())
+            return self._fallback.keys()
         lib = _LIB
         n = lib.ttsrt_st_count(self._h)
         return [lib.ttsrt_st_name(self._h, i).decode() for i in range(n)]
@@ -128,7 +171,7 @@ class SafetensorsFile:
         """Returns a numpy view (zero-copy for the native path; bf16 is
         upcast to float32)."""
         if self._fallback is not None:
-            return self._fallback[name]
+            return self._fallback.tensor(name)
         lib = _LIB
         dtype_buf = ctypes.create_string_buffer(8)
         shape = (ctypes.c_int64 * 8)()
@@ -142,10 +185,7 @@ class SafetensorsFile:
         dt = dtype_buf.value.decode()
         buf = (ctypes.c_char * nbytes.value).from_address(ptr)
         if dt == "BF16":
-            raw = np.frombuffer(buf, np.uint16).reshape(shp)
-            out = np.zeros(raw.shape, np.uint32)
-            out |= raw.astype(np.uint32) << 16
-            return out.view(np.float32)
+            return _bf16_to_f32(np.frombuffer(buf, np.uint16).reshape(shp))
         npdt = _ST_DTYPES.get(dt)
         if npdt is None:
             raise ValueError(f"unsupported dtype {dt}")
@@ -155,6 +195,21 @@ class SafetensorsFile:
         if self._h and _LIB is not None:
             _LIB.ttsrt_st_close(self._h)
             self._h = None
+
+
+def read_safetensors(path: str) -> dict:
+    """Load every tensor of a .safetensors file as numpy arrays (native
+    mmap reader when libttsrt is built, pure-Python parser otherwise;
+    BF16 upcast to float32 on both paths — real Qwen checkpoints are
+    bf16, which the safetensors numpy backend cannot read)."""
+    f = SafetensorsFile(path)
+    try:
+        # explicit copy: tensor() returns views into the mmap, which close()
+        # unmaps — np.asarray alone would NOT copy and would leave the dict
+        # holding dangling pointers
+        return {k: np.array(f.tensor(k), copy=True) for k in f.keys()}
+    finally:
+        f.close()
 
 
 # ---------------------------------------------------------------------------

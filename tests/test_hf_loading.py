@@ -1,0 +1,242 @@
+"""HF-checkpoint loading tests (VERDICT round-1 item 4).
+
+Writes a tiny-geometry ``model.safetensors`` with the EXACT production key
+names the loaders expect (mirroring reference extract_talker_as_qwen3.py:
+53-75, extract_embeddings.py:47-70, export_code_predictor_weights.py:51-74)
+plus a ``speech_tokenizer/model.safetensors`` with the decoder's real names,
+stores matrices in bf16 like the real checkpoint, and loads through the
+whole production path: pure-Python/native safetensors reader ->
+io/weights -> TTSEngine synthesis. A key-name or transpose drift now breaks
+a test instead of breaking real-weight loading silently.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from qwen3_tts_tpu.config import tiny_tts_config
+from qwen3_tts_tpu.io import weights as weights_io
+from qwen3_tts_tpu.runtime import native
+
+CFG = tiny_tts_config(max_tokens=6)
+
+
+def _layer_tensors(prefix, i, H, I, q_dim, kv_dim, head_dim, gen):
+    def w(*shape):
+        return (0.02 * torch.randn(*shape, generator=gen)).to(torch.bfloat16)
+
+    p = f"{prefix}.{i}."
+    return {
+        p + "input_layernorm.weight": torch.ones(H),
+        p + "post_attention_layernorm.weight": torch.ones(H),
+        p + "self_attn.q_proj.weight": w(q_dim, H),
+        p + "self_attn.k_proj.weight": w(kv_dim, H),
+        p + "self_attn.v_proj.weight": w(kv_dim, H),
+        p + "self_attn.o_proj.weight": w(H, q_dim),
+        p + "self_attn.q_norm.weight": torch.ones(head_dim),
+        p + "self_attn.k_norm.weight": torch.ones(head_dim),
+        p + "mlp.gate_proj.weight": w(I, H),
+        p + "mlp.up_proj.weight": w(I, H),
+        p + "mlp.down_proj.weight": w(H, I),
+    }
+
+
+def _talker_cp_state_dict():
+    """Synthetic checkpoint at tiny geometry with production names."""
+    gen = torch.Generator().manual_seed(0)
+
+    def w(*shape):
+        return (0.02 * torch.randn(*shape, generator=gen)).to(torch.bfloat16)
+
+    t = CFG.talker
+    sd = {}
+    for i in range(t.num_layers):
+        sd.update(_layer_tensors("talker.model.layers", i, t.hidden_size,
+                                 t.intermediate_size, t.q_dim, t.kv_dim,
+                                 t.head_dim, gen))
+    sd["talker.model.norm.weight"] = torch.ones(t.hidden_size)
+    sd["talker.model.text_embedding.weight"] = w(t.text_vocab_size,
+                                                 t.text_embed_dim)
+    sd["talker.text_projection.linear_fc1.weight"] = w(t.text_embed_dim,
+                                                       t.text_embed_dim)
+    sd["talker.text_projection.linear_fc1.bias"] = w(t.text_embed_dim)
+    sd["talker.text_projection.linear_fc2.weight"] = w(t.hidden_size,
+                                                       t.text_embed_dim)
+    sd["talker.text_projection.linear_fc2.bias"] = w(t.hidden_size)
+    sd["talker.model.codec_embedding.weight"] = w(t.codec_vocab_size,
+                                                  t.hidden_size)
+    sd["talker.codec_head.weight"] = w(t.codec_vocab_size, t.hidden_size)
+
+    c = CFG.code_predictor
+    pre = "talker.code_predictor"
+    for i in range(c.num_layers):
+        sd.update(_layer_tensors(f"{pre}.model.layers", i, c.hidden_size,
+                                 c.intermediate_size, c.q_dim, c.kv_dim,
+                                 c.head_dim, gen))
+    sd[f"{pre}.model.norm.weight"] = torch.ones(c.hidden_size)
+    sd[f"{pre}.small_to_mtp_projection.weight"] = w(c.hidden_size,
+                                                    c.hidden_size)
+    sd[f"{pre}.small_to_mtp_projection.bias"] = w(c.hidden_size)
+    for g in range(c.num_groups):
+        sd[f"{pre}.model.codec_embedding.{g}.weight"] = \
+            w(c.group_vocab_size, c.hidden_size)
+        sd[f"{pre}.lm_head.{g}.weight"] = w(c.group_vocab_size, c.hidden_size)
+    return sd
+
+
+def _voc_state_dict():
+    """Synthetic speech-tokenizer decoder state dict with the torch
+    module's real tensor names/shapes (see test_vocoder_golden.py for the
+    from-the-actual-torch-module variant)."""
+    gen = torch.Generator().manual_seed(1)
+
+    def w(*shape):
+        return 0.05 * torch.randn(*shape, generator=gen)
+
+    v = CFG.vocoder
+    H, I, L = v.hidden_size, v.intermediate_size, v.num_hidden_layers
+    sd = {}
+    for i in range(L):
+        p = f"pre_transformer.layers.{i}."
+        sd[p + "input_layernorm.weight"] = torch.ones(H)
+        sd[p + "post_attention_layernorm.weight"] = torch.ones(H)
+        for n, shape in (("self_attn.q_proj", (H, H)),
+                         ("self_attn.k_proj", (H, H)),
+                         ("self_attn.v_proj", (H, H)),
+                         ("self_attn.o_proj", (H, H)),
+                         ("mlp.gate_proj", (I, H)),
+                         ("mlp.up_proj", (I, H)),
+                         ("mlp.down_proj", (H, I))):
+            sd[p + n + ".weight"] = w(*shape)
+        sd[p + "self_attn_layer_scale.scale"] = w(H)
+        sd[p + "mlp_layer_scale.scale"] = w(H)
+    sd["pre_transformer.norm.weight"] = torch.ones(H)
+    sd["code_embedding.weight"] = w(v.num_codebooks * v.codebook_size, H)
+    for i, f in enumerate(v.upsampling_ratios):
+        u = f"upsample.{i}."
+        sd[u + "0.conv.weight"] = w(H, H, f)
+        sd[u + "0.conv.bias"] = w(H)
+        sd[u + "1.dwconv.conv.weight"] = w(H, 1, 7)
+        sd[u + "1.dwconv.conv.bias"] = w(H)
+        sd[u + "1.norm.weight"] = torch.ones(H)
+        sd[u + "1.norm.bias"] = w(H)
+        sd[u + "1.pwconv1.weight"] = w(4 * H, H)
+        sd[u + "1.pwconv1.bias"] = w(4 * H)
+        sd[u + "1.pwconv2.weight"] = w(H, 4 * H)
+        sd[u + "1.pwconv2.bias"] = w(H)
+        sd[u + "1.gamma"] = w(H)
+    D = v.decoder_dim
+    sd["decoder.0.conv.weight"] = w(D, H, 7)
+    sd["decoder.0.conv.bias"] = w(D)
+    cin = D
+    for i, r in enumerate(v.upsample_rates):
+        cout = D // (2 ** (i + 1))
+        d = f"decoder.{i + 1}.block."
+        sd[d + "0.alpha"] = w(cin)
+        sd[d + "0.beta"] = w(cin)
+        sd[d + "1.conv.weight"] = w(cin, cout, 2 * r)
+        sd[d + "1.conv.bias"] = w(cout)
+        for d_i in range(3):
+            rr = d + f"{d_i + 2}."
+            sd[rr + "act1.alpha"] = w(cout)
+            sd[rr + "act1.beta"] = w(cout)
+            sd[rr + "conv1.conv.weight"] = w(cout, cout, 7)
+            sd[rr + "conv1.conv.bias"] = w(cout)
+            sd[rr + "act2.alpha"] = w(cout)
+            sd[rr + "act2.beta"] = w(cout)
+            sd[rr + "conv2.conv.weight"] = w(cout, cout, 1)
+            sd[rr + "conv2.conv.bias"] = w(cout)
+        cin = cout
+    n = len(v.upsample_rates)
+    sd[f"decoder.{n + 1}.alpha"] = w(cin)
+    sd[f"decoder.{n + 1}.beta"] = w(cin)
+    sd[f"decoder.{n + 2}.conv.weight"] = w(1, cin, 7)
+    sd[f"decoder.{n + 2}.conv.bias"] = w(1)
+    return {"decoder." + k: t for k, t in sd.items()}
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    from safetensors.torch import save_file
+
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    sd = _talker_cp_state_dict()
+    save_file(sd, str(d / "model.safetensors"))
+    st = d / "speech_tokenizer"
+    st.mkdir()
+    save_file(_voc_state_dict(), str(st / "model.safetensors"))
+    return d, sd
+
+
+def test_readers_decode_bf16(ckpt_dir):
+    """Both the native mmap reader and the pure-Python fallback must read
+    bf16 tensors with exact bit-upcast to f32."""
+    d, sd = ckpt_dir
+    path = str(d / "model.safetensors")
+    want = sd["talker.codec_head.weight"].float().numpy()
+
+    got = native.read_safetensors(path)["talker.codec_head.weight"]
+    np.testing.assert_array_equal(got, want)
+
+    py = native._PySafetensors(path)
+    np.testing.assert_array_equal(
+        np.asarray(py.tensor("talker.codec_head.weight")), want)
+
+    if native.available():
+        f = native.SafetensorsFile(path)
+        assert f._h, "native lib built but mmap open failed"
+        np.testing.assert_array_equal(
+            np.asarray(f.tensor("talker.codec_head.weight")), want)
+        f.close()
+
+
+def test_load_params_maps_and_transposes(ckpt_dir):
+    d, sd = ckpt_dir
+    params = weights_io.load_params(str(d), CFG, dtype=jnp.float32)
+
+    t = CFG.talker
+    tp = params["talker"]
+    assert tp["codec_head"].shape == (t.hidden_size, t.codec_vocab_size)
+    np.testing.assert_array_equal(
+        np.asarray(tp["codec_head"]),
+        sd["talker.codec_head.weight"].float().numpy().T)
+    np.testing.assert_array_equal(
+        np.asarray(tp["layers"]["q_proj"][1]),
+        sd["talker.model.layers.1.self_attn.q_proj.weight"].float().numpy().T)
+
+    cp = params["code_predictor"]
+    assert cp["codec_embs"].shape == (15, 2048, t.hidden_size)
+    np.testing.assert_array_equal(
+        np.asarray(cp["lm_heads"][7]),
+        sd["talker.code_predictor.lm_head.7.weight"].float().numpy().T)
+
+    # vocoder came from speech_tokenizer/, not random init
+    assert params["vocoder"]["code_embedding"].shape == (16 * 2048,
+                                                         CFG.vocoder.hidden_size)
+
+
+def test_missing_speech_tokenizer_warns(ckpt_dir, tmp_path):
+    """ADVICE round-1 (high): random vocoder fallback must be loud."""
+    import shutil
+
+    d, _ = ckpt_dir
+    bare = tmp_path / "bare_ckpt"
+    bare.mkdir()
+    shutil.copy(str(d / "model.safetensors"), str(bare / "model.safetensors"))
+    with pytest.warns(UserWarning, match="RANDOMLY INITIALIZED"):
+        weights_io.load_params(str(bare), CFG, dtype=jnp.float32)
+
+
+def test_engine_synthesizes_from_hf_checkpoint(ckpt_dir, tmp_path):
+    """The full production path: HF dir -> engine -> WAV bytes."""
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+
+    d, _ = ckpt_dir
+    eng = TTSEngine(CFG, model_dir=str(d), dtype=jnp.float32)
+    res = eng.synthesize("hello", language="english", seed=0)
+    assert res.n_tokens >= 1
+    assert len(res.audio_int16) == res.n_tokens * 1920
+    assert np.isfinite(res.audio_int16).all()

@@ -1,4 +1,6 @@
-"""Vocoder tests: shapes, FP32 policy, Snake math, chunked crossfade contract."""
+"""Vocoder tests: shapes, FP32 policy, Snake math, chunked crossfade
+contract. Numerical parity against the torch implementation lives in
+tests/test_vocoder_golden.py."""
 
 import numpy as np
 import jax
@@ -22,30 +24,54 @@ def test_snake_matches_definition():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_conv1d_matches_numpy():
+def test_snake_beta_matches_definition():
+    """SnakeBeta := x + sin^2(x * e^a) / (e^b + 1e-9) — the decoder's
+    activation (torch SnakeBeta module semantics)."""
     rng = np.random.default_rng(1)
-    x = rng.normal(size=(1, 9, 2)).astype(np.float32)
-    w = rng.normal(size=(3, 2, 4)).astype(np.float32)
-    b = rng.normal(size=(4,)).astype(np.float32)
-    got = np.asarray(voc.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
-    xp = np.pad(x, ((0, 0), (1, 1), (0, 0)))
-    want = np.zeros((1, 9, 4), np.float32)
-    for t in range(9):
-        want[0, t] = np.einsum("kc,kcd->d", xp[0, t:t + 3], w) + b
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    x = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    a = rng.normal(size=3).astype(np.float32)
+    b = rng.normal(size=3).astype(np.float32)
+    got = np.asarray(voc.snake_beta(jnp.asarray(x), jnp.asarray(a),
+                                    jnp.asarray(b)))
+    want = x + np.sin(x * np.exp(a)) ** 2 / (np.exp(b) + 1e-9)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_dilated_conv_receptive_field():
-    """dilation=9 conv (the op AX650N could not compile, README.md:62) must
-    see exactly k_eff = (k-1)*9+1 inputs."""
+def test_causal_conv_is_causal():
+    """Output at frame t must not see inputs after t (stride 1)."""
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(7, 1, 1)).astype(np.float32))
+    b = jnp.zeros((1,))
+    x = jnp.asarray(rng.normal(size=(1, 20, 1)).astype(np.float32))
+    y1 = np.asarray(voc.causal_conv1d(x, w, b))
+    x2 = x.at[0, 10, 0].set(99.0)
+    y2 = np.asarray(voc.causal_conv1d(x2, w, b))
+    assert y1.shape == (1, 20, 1)
+    np.testing.assert_array_equal(y1[0, :10], y2[0, :10])
+    assert not np.allclose(y1[0, 10:], y2[0, 10:])
+
+
+def test_dilated_causal_conv_receptive_field():
+    """dilation=9 conv (the op AX650N could not compile, README.md:61)
+    must see inputs at offsets {0, -9, -18} only."""
     x = np.zeros((1, 64, 1), np.float32)
     x[0, 32, 0] = 1.0
     w = np.ones((3, 1, 1), np.float32)
     b = np.zeros((1,), np.float32)
-    got = np.asarray(voc.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
-                                dilation=9))[0, :, 0]
+    got = np.asarray(voc.causal_conv1d(jnp.asarray(x), jnp.asarray(w),
+                                       jnp.asarray(b), dilation=9))[0, :, 0]
     nz = np.nonzero(got)[0]
-    assert set(nz.tolist()) == {32 - 9, 32, 32 + 9}
+    assert set(nz.tolist()) == {32, 32 + 9, 32 + 18}
+
+
+def test_trans_conv_upsamples():
+    """Upsample-stage transposed conv (k == s) multiplies length exactly."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(2, 3, 3)).astype(np.float32))
+    b = jnp.zeros((3,))
+    x = jnp.asarray(rng.normal(size=(1, 5, 3)).astype(np.float32))
+    y = voc.causal_trans_conv1d(x, w, b, stride=2)
+    assert y.shape == (1, 10, 3)
 
 
 def test_decode_shape_and_finite():
@@ -56,7 +82,10 @@ def test_decode_shape_and_finite():
     assert wav.dtype == jnp.float32
     w = np.asarray(wav)
     assert np.isfinite(w).all()
-    assert (np.abs(w) <= 1.0).all()  # tanh output
+    assert (np.abs(w) <= 1.0).all()  # clamp(-1, 1) output
+    raw = voc.decode_raw(params, codes, CFG)
+    assert raw.shape == (1, voc.out_len(CFG, 8))
+    assert voc.out_len(CFG, 8) == 8 * CFG.total_upsample - CFG.output_crop
 
 
 def test_chunked_single_equals_direct():
@@ -73,7 +102,8 @@ def test_chunked_single_equals_direct():
 
 def test_chunked_multi_length_and_blend():
     """Multi-chunk output must be exactly T*1920 samples, equal to the
-    chunk decodes outside overlaps and a linear blend inside."""
+    chunk decodes outside overlaps and a linear blend inside
+    (reference vocoder_server.py:101-117 semantics)."""
     params = voc.init_vocoder_params(jax.random.PRNGKey(0), CFG)
     fn = jax.jit(lambda c: voc.decode(params, c, CFG))
     T, MT, OV = 14, 8, 2
@@ -98,6 +128,19 @@ def test_chunked_multi_length_and_blend():
     want_blend = a[6 * spt:8 * spt] * fade_out + b[:ovs] * (1 - fade_out)
     np.testing.assert_allclose(got[6 * spt:8 * spt], want_blend,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_context_lengths():
+    """Left-context chunker emits exactly T*1920 samples for any T."""
+    params = voc.init_vocoder_params(jax.random.PRNGKey(0), CFG)
+    for T, chunk, ctx in ((3, 8, 4), (17, 8, 4), (16, 8, 25)):
+        W = min(ctx, 0) + chunk + 1  # fixed buffer is ctx+chunk+1 wide
+        fn = jax.jit(lambda c: voc.decode(params, c, CFG))
+        codes = np.random.default_rng(T).integers(
+            0, 2048, (T, 16)).astype(np.int32)
+        got = voc.synthesize_chunked_context(fn, codes, chunk_tokens=chunk,
+                                             context_tokens=ctx)
+        assert len(got) == T * SAMPLES_PER_TOKEN
 
 
 def test_int16_clip():

@@ -10,9 +10,17 @@ components #12-#15): there is no GGUF/ONNX step, only
 with optional embedding .npy dumps for inspection/debugging parity with
 the reference's extracted artifacts.
 
+The speech tokenizer (vocoder decoder + voice-clone encoder, reference
+scripts/export_vocoder_traced.py) is repacked the same way: pass
+``--speech_tokenizer`` to convert ``<model_dir>/speech_tokenizer/
+model.safetensors`` into a standalone ``vocoder.npz``; ``load_params``
+also consumes the speech_tokenizer directory directly.
+
 Usage:
   python tools/convert_weights.py --model_dir /path/to/hf_ckpt \
       --output params.npz [--dtype bfloat16] [--dump_embeddings DIR]
+  python tools/convert_weights.py --model_dir /path/to/hf_ckpt \
+      --speech_tokenizer --output vocoder.npz
   python tools/convert_weights.py --random --output params.npz  # dev
 """
 
@@ -34,6 +42,11 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--speech_tokenizer", action="store_true",
+                   help="Convert <model_dir>/speech_tokenizer/"
+                        "model.safetensors (or model_dir itself if it "
+                        "contains one) into a vocoder/encoder npz instead "
+                        "of the talker checkpoint")
     p.add_argument("--dump_embeddings", default=None,
                    help="Also dump text/codec embedding .npy files "
                         "(inspection parity with the reference's "
@@ -54,6 +67,25 @@ def main(argv=None) -> int:
 
     cfg = tiny_tts_config() if args.tiny else TTSConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.speech_tokenizer:
+        if args.model_dir is None:
+            p.error("--speech_tokenizer requires --model_dir")
+        st_dir = os.path.join(args.model_dir, "speech_tokenizer")
+        if not os.path.exists(os.path.join(st_dir, "model.safetensors")):
+            st_dir = args.model_dir
+        print(f"Loading speech tokenizer: {st_dir}")
+        st = weights_io.load_speech_tokenizer(st_dir, cfg)
+        out = args.output if args.output != "params.npz" else "vocoder.npz"
+        print(f"Saving: {out}")
+        weights_io.save_pytree_npz(out, st["vocoder"])
+        if "encoder" in st:
+            enc_out = out.replace("vocoder", "encoder")
+            weights_io.save_pytree_npz(enc_out, st["encoder"])
+            print(f"Saving: {enc_out}")
+        print(f"  {os.path.getsize(out) / 1e6:.1f} MB")
+        print("Done.")
+        return 0
 
     if args.random or args.model_dir is None:
         print("Initializing random parameters at model geometry...")

@@ -58,9 +58,14 @@ def main(argv=None) -> int:
 
     params = weights_io.load_params(args.model_dir, cfg)
     if "encoder" not in params:
+        print("WARNING: no trained encoder weights found (checkpoint has "
+              "no encoder.* tensors) — the encoder is RANDOMLY INITIALIZED "
+              "and the emitted ref_codec_tokens.npy will NOT carry the "
+              "reference speaker's voice. Check the decode-back WAV before "
+              "using this prompt_dir.", file=sys.stderr)
         params["encoder"] = enc.init_encoder_params(
             jax.random.PRNGKey(0), cfg.encoder)
-    codebooks = params["vocoder"]["codebooks"]
+    codebooks = enc.decoder_codebooks(params["vocoder"], cfg.vocoder)
 
     codes = np.asarray(jax.jit(
         lambda ep, cb, w: enc.encode(ep, cb, w, cfg.encoder)
@@ -84,8 +89,9 @@ def main(argv=None) -> int:
         print(f"Saved: {args.output}")
         decoded_path = args.output.replace(".npy", "_decoded.wav")
 
-    # decode-back verification through the vocoder
-    audio = voc.synthesize_chunked(
+    # decode-back verification through the vocoder (left-context chunking,
+    # the real model's streaming-decode semantics)
+    audio = voc.synthesize_chunked_context(
         jax.jit(lambda c: voc.decode(params["vocoder"], c, cfg.vocoder)),
         codes.astype(np.int32))
     wav_io.write_wav(decoded_path, voc.to_int16(audio))

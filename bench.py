@@ -90,12 +90,13 @@ def main() -> None:
             f"audio={res.audio_seconds:.2f}s RTF={res.rtf:.4f}")
 
     # first-audio: streaming with head chunks
-    first_audio = []
+    first_audio, stream_rtfs = [], []
     for trial in range(3):
         res = engine.synthesize(text + "!" * trial, language="english",
                                 streaming=True, seed=20 + trial)
         if res.first_audio_seconds is not None:
             first_audio.append(res.first_audio_seconds)
+        stream_rtfs.append(res.rtf)
         log(f"stream trial {trial}: n={res.n_tokens} RTF={res.rtf:.4f} "
             f"first_audio={res.first_audio_seconds:.3f}s")
 
@@ -103,6 +104,11 @@ def main() -> None:
     log(f"median RTF={rtf:.4f}  {np.median(ms_tok):.2f} ms/tok  "
         f"first_audio_p50={np.median(first_audio) if first_audio else None}"
         f"  (targets: RTF<=0.1, first-audio<0.3s; reference RTF=2.0)")
+    # regression guard: streaming must also beat the RTF target on every
+    # trial, not just the non-streaming headline
+    worst_stream = max(stream_rtfs) if stream_rtfs else float("inf")
+    log(f"STREAM GUARD: worst stream RTF={worst_stream:.4f} "
+        f"{'OK' if worst_stream <= 0.1 else 'FAIL'} (target <= 0.1)")
 
     print(json.dumps({
         "metric": "rtf_e2e",

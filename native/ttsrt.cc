@@ -294,8 +294,12 @@ void ttsrt_crossfade(float* a_tail, const float* b_head, int64_t n) {
 //   response: [u32 len][len bytes]
 // ---------------------------------------------------------------------------
 
+// Handler contract: fill `resp` and return its length (>= 0) for a single
+// framed response; return TTSRT_HANDLED after writing frames directly to
+// `fd` (chunked/streaming responses); any other negative -> error sentinel.
+#define TTSRT_HANDLED (-2)
 typedef int64_t (*ttsrt_handler)(const uint8_t* req, int64_t req_len,
-                                 uint8_t* resp, int64_t resp_cap);
+                                 uint8_t* resp, int64_t resp_cap, int fd);
 
 static std::atomic<int> g_stop_flag{0};
 
@@ -355,12 +359,12 @@ int ttsrt_serve_unix(const char* socket_path, ttsrt_handler handler,
     uint32_t len = 0;
     if (recv_exact(conn, &len, 4) && len <= max_req &&
         recv_exact(conn, req.data(), len)) {
-      int64_t rlen = handler(req.data(), len, resp.data(), resp_cap);
+      int64_t rlen = handler(req.data(), len, resp.data(), resp_cap, conn);
       if (rlen >= 0) {
         uint32_t rl = static_cast<uint32_t>(rlen);
         send_exact(conn, &rl, 4);
         send_exact(conn, resp.data(), rl);
-      } else {
+      } else if (rlen != TTSRT_HANDLED) {
         int32_t sentinel = -2;  // reference error sentinel
         uint32_t rl = 4;
         send_exact(conn, &rl, 4);

@@ -8,7 +8,8 @@ chip:
                       (talker step + CP scan + feedback, engine/generate.py)
   2. ``_voc_chunk`` — fixed-shape FP32 vocoder chunk decode
 
-plus host-side chunk orchestration with overlap-crossfade and WAV output.
+plus host-side chunk orchestration (left-context chunking, the real
+model's chunked-decode semantics) and WAV output.
 Streaming mode dispatches vocoder chunks asynchronously (JAX async
 dispatch) while the decode loop keeps running — the TPU analog of the
 reference's background vocoder threads (tts_client.py:189-197).
@@ -32,7 +33,6 @@ from qwen3_tts_tpu.config import (
     SAMPLES_PER_TOKEN,
     SUPPORTED_LANGUAGES,
     VOC_CHUNK_SIZE,
-    VOC_OVERLAP,
     TTSConfig,
 )
 from qwen3_tts_tpu.engine import generate as gen
@@ -244,7 +244,7 @@ class TTSEngine:
         hit = self._prefix_cache.pop(k, None)
         if hit is not None:
             self._prefix_cache[k] = hit  # refresh LRU order
-            return hit._replace(key=key)
+            return hit._replace(key=gen.batch_keys(key, hit.key.shape[0]))
         return None
 
     def _cache_put(self, k, state) -> None:
@@ -303,18 +303,18 @@ class TTSEngine:
         data = np.load(path)
         kwargs = {f: jnp.asarray(data[f]) for f in gen.GenState._fields
                   if f != "key"}
-        kwargs["key"] = key
+        kwargs["key"] = gen.batch_keys(key, kwargs["kv"].shape[2])
         # restore dtypes that numpy round-trips lose (bf16 saved as f32?)
         ref_dtype = self.params["talker"]["codec_embedding"].dtype
         kwargs["kv"] = kwargs["kv"].astype(ref_dtype)
         kwargs["hidden"] = kwargs["hidden"].astype(ref_dtype)
         return gen.GenState(**kwargs)
 
-    def _decode_pipelined(self, tp, cpp, state):
+    def _decode_pipelined(self, tp, cpp, state, budget: Optional[int] = None):
         """Run the decode to completion in ONE program invocation (the
         while_loop exits on EOS; the step budget is a runtime scalar)."""
         state = self._run_chunk(tp, cpp, state,
-                                jnp.int32(self.cfg.max_tokens))
+                                jnp.int32(budget or self.cfg.max_tokens))
         return state
 
     def _encode_text(self, text: str):
@@ -342,7 +342,9 @@ class TTSEngine:
     def synthesize(self, text: str, language: str = "russian",
                    output: Optional[str] = None, streaming: bool = False,
                    seed: int = 0,
-                   prompt_dir: Optional[str] = None) -> SynthesisResult:
+                   prompt_dir: Optional[str] = None,
+                   max_tokens: Optional[int] = None,
+                   on_chunk=None) -> SynthesisResult:
         """Full pipeline: text -> codes -> audio. Mirrors
         Qwen3TTSClient.synthesize (tts_client.py:110-271).
 
@@ -354,11 +356,26 @@ class TTSEngine:
         tools/encode_reference_audio.py (ref codec tokens + transcript);
         the reference speaker's frames condition the decode in-context
         (models/talker.build_prefix_cloned).
+
+        ``max_tokens``: per-request generation cap, clamped to the
+        compiled ``cfg.max_tokens``. The step budget is a runtime scalar,
+        so this reuses the same compiled programs (the reference's
+        MAX_TOKENS env var, launch_qwen3_tts.sh:32, but per request).
+
+        ``on_chunk``: streaming only — called with each np.int16 audio
+        chunk as soon as it is rendered (daemon chunked-response framing;
+        the reference's streaming is process-internal, tts_client.py:
+        189-197, so this is a capability extension).
         """
         if language not in SUPPORTED_LANGUAGES:
             raise ValueError(
                 f"unsupported language {language!r}; expected one of "
                 f"{SUPPORTED_LANGUAGES}")
+        budget_cap = self.cfg.max_tokens
+        if max_tokens is not None:
+            if max_tokens < 1:
+                raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+            budget_cap = min(int(max_tokens), budget_cap)
 
         timer = StageTimer()
         key = jax.random.PRNGKey(seed)
@@ -403,17 +420,20 @@ class TTSEngine:
 
         if not streaming:
             with timer.stage("decode"):
-                st0, state = _prefill_fused(key, jnp.int32(
-                    self.cfg.max_tokens))
+                st0, state = _prefill_fused(key, jnp.int32(budget_cap))
                 if st0 is None:  # two-step path (cache hit / prompt / disk)
-                    state = self._decode_pipelined(tp, cpp, state)
+                    state = self._decode_pipelined(tp, cpp, state,
+                                                   budget_cap)
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
             with timer.stage("vocoder"):
                 if n > 0:
-                    audio = voc.synthesize_chunked(
+                    # left-context chunking (the real model's chunked-decode
+                    # semantics, models/vocoder.synthesize_chunked_context):
+                    # conv-exact across chunk boundaries, no crossfade blend
+                    audio = voc.synthesize_chunked_context(
                         lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
-                        codes_np, VOC_CHUNK_SIZE, VOC_OVERLAP)
+                        codes_np, VOC_CHUNK_SIZE)
                     first_audio_t = time.perf_counter() - t_start
                 else:
                     audio = np.zeros((0,), np.float32)
@@ -429,10 +449,29 @@ class TTSEngine:
                 # first head budget fuses with prefill on cache misses
                 # (same compiled program — the budget is a runtime scalar)
                 st0, state = _prefill_fused(
-                    key, jnp.int32(self.head_schedule[0]))
+                    key, jnp.int32(min(self.head_schedule[0], budget_cap)))
                 fused_first = st0 is not None
             pending: List[tuple] = []  # (future, start_token, size)
-            emitted = 0
+            chunks: List[np.ndarray] = []   # trimmed audio, in order
+            emitted = 0       # tokens covered by dispatched voc chunks
+            flushed = 0       # pending entries already fetched/emitted
+
+            def _flush(n_known: int) -> None:
+                """Fetch dispatched chunks in order, trim to the (now
+                known) token count, hand them to ``on_chunk``."""
+                nonlocal flushed
+                while flushed < len(pending):
+                    fut, start, size = pending[flushed]
+                    flushed += 1
+                    keep = min(size, max(n_known - start, 0))
+                    if keep <= 0:
+                        continue
+                    a = np.asarray(jax.device_get(fut))[0]
+                    a = a[:keep * SAMPLES_PER_TOKEN]
+                    chunks.append(a)
+                    if on_chunk is not None:
+                        on_chunk(voc.to_int16(a))
+
             with timer.stage("decode+vocoder"):
                 # Phase 1 — head chunks: small budgets so the first audio
                 # lands in < 300 ms. Each quantum costs a ~100 ms program
@@ -440,6 +479,9 @@ class TTSEngine:
                 # chunked.
                 done = False
                 for ci, budget in enumerate(self.head_schedule):
+                    budget = min(budget, budget_cap - emitted)
+                    if budget <= 0:
+                        break
                     if not (ci == 0 and fused_first):
                         state = self._run_chunk(tp, cpp, state,
                                                 jnp.int32(budget))
@@ -460,21 +502,33 @@ class TTSEngine:
                         chunk[jnp.clip(idx + off, 0, win - 1)], 0)
                     fut = self._voc_chunk(vp, chunk[None])
                     pending.append((fut, emitted, budget))
-                    done = bool(jax.device_get(state.done)[0])
                     if first_audio_t is None:
                         np.asarray(jax.device_get(fut))
                         first_audio_t = time.perf_counter() - t_start
                     emitted += budget
-                    if done:
-                        break
+                    if on_chunk is not None:
+                        # chunked daemon responses: emit as soon as the
+                        # chunk's true extent is known (full budget while
+                        # decoding continues; trimmed to n_codes on EOS)
+                        done = bool(jax.device_get(state.done)[0])
+                        n_now = (int(jax.device_get(state.n_codes)[0])
+                                 if done else emitted)
+                        _flush(n_now)
+                        if done:
+                            break
+                    # with no chunk consumer, skip the blocking done-fetch
+                    # entirely: the decode chain dispatches back-to-back
+                    # (async), and an already-finished utterance makes the
+                    # next invocation a no-op while_loop — cheaper than a
+                    # tunnel round trip per head chunk
                 # Phase 2 — the head bought ~5 s of playout headroom
                 # (64 tokens of audio vs ~0.5 s of decode): finish the
                 # whole utterance in ONE invocation, then vocode the tail
                 # in 64-token windows (disjoint chunks, like the
                 # reference's streaming client).
-                if not done:
+                if not done and emitted < budget_cap:
                     state = self._run_chunk(tp, cpp, state,
-                                            jnp.int32(self.cfg.max_tokens))
+                                            jnp.int32(budget_cap - emitted))
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
                 while emitted < n:
@@ -484,14 +538,8 @@ class TTSEngine:
                     fut = self._voc_chunk(vp, jnp.asarray(chunk)[None])
                     pending.append((fut, emitted, size))
                     emitted += size
-                # gather + trim emissions against the true token count
-                chunks = []
-                for fut, start, size in pending:
-                    keep = min(size, max(n - start, 0))
-                    if keep <= 0:
-                        continue
-                    a = np.asarray(jax.device_get(fut))[0]
-                    chunks.append(a[:keep * SAMPLES_PER_TOKEN])
+                # gather + trim remaining emissions against the true count
+                _flush(n)
                 audio = (np.concatenate(chunks) if chunks
                          else np.zeros((0,), np.float32))
 
@@ -540,7 +588,9 @@ class TTSEngine:
                 n_text_np[i] = int(n)
 
         with timer.stage("decode"):
-            key = jax.random.PRNGKey(seed)
+            # distinct per-element streams (duplicate texts in one batch
+            # should not produce identical audio)
+            key = jax.random.split(jax.random.PRNGKey(seed), B)
             state = self._batch_prefill(tp, jnp.asarray(ids_np),
                                         jnp.asarray(n_text_np), key)
             state = self._decode_pipelined(tp, cpp, state)
@@ -553,9 +603,9 @@ class TTSEngine:
                 n = int(n_codes[i])
                 codes_np = codes_all[i][:n]
                 if n > 0:
-                    audio = voc.synthesize_chunked(
+                    audio = voc.synthesize_chunked_context(
                         lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
-                        codes_np, VOC_CHUNK_SIZE, VOC_OVERLAP)
+                        codes_np, VOC_CHUNK_SIZE)
                 else:
                     audio = np.zeros((0,), np.float32)
                 audio_i16 = voc.to_int16(audio)

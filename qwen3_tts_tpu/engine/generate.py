@@ -52,7 +52,10 @@ class GenState(NamedTuple):
     codes: jax.Array     # (B, T_max, 16) int32 output buffer
     n_text: jax.Array    # (B,) text-token counts (for EOS boost)
     step: jax.Array      # scalar: loop iterations done
-    key: jax.Array       # PRNG key
+    key: jax.Array       # (B, 2) uint32 PER-ELEMENT PRNG keys
+
+
+batch_keys = smp.batch_keys  # re-export (see ops/sampling.batch_keys)
 
 
 def init_state(
@@ -60,7 +63,7 @@ def init_state(
     prefix: jax.Array,       # (B, P_pad, H)
     prefix_len: jax.Array,   # (B,)
     n_text: jax.Array,       # (B,)
-    key: jax.Array,
+    key: jax.Array,          # (2,) broadcast or (B, 2) per-element
     cfg: TTSConfig,
     kv_dtype=None,
 ) -> GenState:
@@ -82,7 +85,7 @@ def init_state(
         codes=jnp.zeros((B, cfg.max_tokens, 16), jnp.int32),
         n_text=n_text.astype(jnp.int32),
         step=jnp.int32(0),
-        key=key,
+        key=batch_keys(key, B),
     )
 
 
@@ -90,11 +93,14 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
                tts_pad_embed: jax.Array, cfg: TTSConfig) -> GenState:
     B = state.hidden.shape[0]
     scfg = cfg.sampling
-    key, k_c0, k_cp = jax.random.split(state.key, 3)
+    # per-element key split: element i's stream depends only on ITS key,
+    # never on batch size or slot position (exact batch-1 <-> slot-k
+    # reproducibility; also gives the serving tier true per-request seeds)
+    ks = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)  # (B, 3, 2)
+    key, c0_keys, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
 
     # 1. sample code_0 from the current hidden
     logits = tk.codec_logits(talker_params, state.hidden)  # (B, Vc)
-    c0_keys = jax.random.split(k_c0, B)
     code0 = jax.vmap(
         lambda lg, rg, st, nt, kk: smp.sample_code0(lg, rg, st, nt, kk, scfg)
     )(logits, state.ring, state.n_codes, state.n_text, c0_keys)  # (B,)

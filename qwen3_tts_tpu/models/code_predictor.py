@@ -78,7 +78,11 @@ def _fused_kernel_ok(params: Params, B: int,
 
     if os.environ.get("QWEN3_TTS_CP_KERNEL", "1") == "0":
         return False
+    # single chip only: under a mesh the scan path runs with sharded int8
+    # matmuls (parallel/mesh.adapt_spec_to_params); the VMEM-resident
+    # kernel is not shard_map-aware
     return (B <= 8
+            and jax.device_count() == 1
             and isinstance(params.get("lm_heads"), QTensor)
             and isinstance(params["layers"].get("q_proj"), QTensor)
             and jax.default_backend() == "tpu"
@@ -92,7 +96,7 @@ def predict_codes(
     params: Params,
     hidden: jax.Array,        # (B, H) talker hidden (post final norm)
     code0_embed: jax.Array,   # (B, H) talker codec_embedding[code_0]
-    key: jax.Array,
+    key: jax.Array,           # (2,) shared or (B, 2) per-element keys
     cfg: CodePredictorConfig,
     scfg: SamplingConfig,
 ) -> jax.Array:
@@ -100,13 +104,18 @@ def predict_codes(
 
     Mirrors CodePredictorServer.predict (code_predictor_server.py:94-140)
     with the 14-step inner AR loop as a lax.scan — or, when the int8
-    VMEM-resident Pallas kernel applies (B=1 on TPU), steps 1..14 run in
+    VMEM-resident Pallas kernel applies (B<=8 on TPU), steps 1..14 run in
     ONE pallas_call with the 5-layer weight stack resident in VMEM
     (~1 ms/token vs ~5 ms for the scan; ops/pallas/cp_decode.py).
+
+    Randomness is PER ELEMENT: element i's draws depend only on key[i]
+    (a (2,) key is broadcast), so outputs are invariant to batch size and
+    slot position for a fixed per-element key.
     """
     geo = tfm.geometry_of(cfg)
     B, H = hidden.shape
     S = cfg.max_seq_len
+    key = smp.batch_keys(key, B)  # (B, 2)
 
     kv = tfm.init_kv_cache(geo, B, S, dtype=hidden.dtype)
 
@@ -123,20 +132,22 @@ def predict_codes(
     # --- group 1 from lm_head_0 ---
     from qwen3_tts_tpu.ops import quant
     logits0 = quant.matmul(h_last, params["lm_heads"][0])   # (B, V)
-    keys = jax.random.split(key, cfg.num_groups)
-    k0 = jax.random.split(keys[0], B)
+    # per-element group keys: (B, num_groups, 2)
+    keys = jax.vmap(lambda k: jax.random.split(k, cfg.num_groups))(key)
     tok0 = jax.vmap(
         lambda lg, kk: smp.topk_temperature_sample(
             lg, kk, scfg.cp_top_k, scfg.cp_temperature)
-    )(logits0, k0).astype(jnp.int32)                        # (B,)
+    )(logits0, keys[:, 0]).astype(jnp.int32)                # (B,)
 
     if _fused_kernel_ok(params, B, cfg):
         from qwen3_tts_tpu.ops.pallas.cp_decode import cp_decode_steps
         cos, sin = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
                                     cfg.head_dim, cfg.rope_theta)
-        seed = jax.random.bits(keys[1], (), "uint32").astype(jnp.int32)
+        seeds = jax.vmap(
+            lambda k: jax.random.bits(k, (), "uint32").astype(jnp.int32)
+        )(keys[:, 1])                                        # (B,)
         toks14 = cp_decode_steps(
-            params, tok0, kv, cos, sin, seed,
+            params, tok0, kv, cos, sin, seeds,
             eps=cfg.rms_norm_eps, top_k=scfg.cp_top_k,
             temperature=float(scfg.cp_temperature),
             greedy=scfg.cp_temperature <= 0.0)       # (14, B)
@@ -146,21 +157,22 @@ def predict_codes(
     #     sample from lm_head[step] ---
     def step_fn(carry, xs):
         tok, kv = carry
-        step_idx, kstep = xs  # step_idx in 1..14
+        step_idx, kstep = xs  # step_idx in 1..14; kstep (B, 2)
         emb = params["codec_embs"][step_idx - 1][tok]       # (B, H)
         emb = _project_in(params, emb)
         pos = jnp.full((B,), step_idx + 1, jnp.int32)
         hh, kv = tfm.decode_step(params["layers"], emb, pos, kv, geo)
         hh = tfm.rms_norm(hh, params["final_norm"], cfg.rms_norm_eps)
         logits = quant.matmul(hh, params["lm_heads"][step_idx])
-        kb = jax.random.split(kstep, B)
         ntok = jax.vmap(
             lambda lg, kk: smp.topk_temperature_sample(
                 lg, kk, scfg.cp_top_k, scfg.cp_temperature)
-        )(logits, kb).astype(jnp.int32)
+        )(logits, kstep).astype(jnp.int32)
         return (ntok, kv), ntok
 
     steps = jnp.arange(1, cfg.num_groups, dtype=jnp.int32)
-    (_, _), toks = jax.lax.scan(step_fn, (tok0, kv), (steps, keys[1:]))
+    # (B, G-1, 2) -> (G-1, B, 2): scan over groups, per-element keys inside
+    (_, _), toks = jax.lax.scan(step_fn, (tok0, kv),
+                                (steps, jnp.swapaxes(keys[:, 1:], 0, 1)))
     # toks: (14, B) -> (B, 15) with tok0 first
     return jnp.concatenate([tok0[:, None], toks.T], axis=1)

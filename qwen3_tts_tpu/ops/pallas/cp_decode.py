@@ -82,7 +82,7 @@ def _qmm(x, q, s):
 def _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature, greedy):
     G = nH // nKV
 
-    def kernel(scalars,                       # SMEM (4,) i32: [seed, ...]
+    def kernel(seeds_pad,                     # (BP, 128) i32 per-row seeds
                tok0_pad,                      # (BP, 128) i32 initial tokens
                rope_cos, rope_sin,            # (S, Dh) f32
                q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
@@ -201,12 +201,14 @@ def _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature, greedy):
             z = masked
         else:
             # Counter-based hash PRNG (murmur3-finalizer style) in plain
-            # vector ops, distinct per (seed, step, row, lane)
-            flat = (jax.lax.broadcasted_iota(jnp.int32, (BP, V), 0) * V
-                    + iota)
-            bits = (scalars[0].astype(jnp.uint32) * jnp.uint32(2654435761)
+            # vector ops, distinct per (row seed, step, lane). Row identity
+            # comes from the PER-ROW seed — not the row index — so a
+            # request's draws are invariant to its slot position and batch
+            # size (the engine/batcher parity contract).
+            seed_col = seeds_pad[:, 0:1]                 # (BP, 1) i32
+            bits = (seed_col.astype(jnp.uint32) * jnp.uint32(2654435761)
                     + jnp.uint32(i).astype(jnp.uint32) * jnp.uint32(40503)
-                    + flat.astype(jnp.uint32) * jnp.uint32(2246822519))
+                    + iota.astype(jnp.uint32) * jnp.uint32(2246822519))
             bits = bits ^ (bits >> 16)
             bits = bits * jnp.uint32(2246822519)
             bits = bits ^ (bits >> 13)
@@ -241,7 +243,7 @@ def cp_decode_steps(
     kv: jax.Array,             # (L, 2, B, S, nKV, Dh) post-prefill cache
     rope_cos: jax.Array,       # (S, Dh) f32
     rope_sin: jax.Array,
-    seed: jax.Array,           # scalar int32
+    seed: jax.Array,           # () or (B,) int32 per-element PRNG seeds
     *,
     eps: float,
     top_k: int,
@@ -266,6 +268,7 @@ def cp_decode_steps(
     V = embs.shape[1]
     n_steps = embs.shape[0] - 1               # 14
 
+    seed = jnp.asarray(seed)
     scalar_tok = tok0.ndim == 0
     tok0v = tok0.reshape(-1).astype(jnp.int32)
     B = kv.shape[2]
@@ -278,6 +281,11 @@ def cp_decode_steps(
                               (0, 0), (0, 0), (0, 0)))
     tok0_pad = jnp.zeros((BP, 128), jnp.int32).at[:B, :].set(
         jnp.broadcast_to(tok0v[:, None], (B, 128)))
+    seedv = jnp.broadcast_to(seed.astype(jnp.int32).reshape(-1), (B,)) \
+        if seed.ndim == 0 else seed.astype(jnp.int32)
+    assert seedv.shape == (B,), (seed.shape, B)
+    seeds_pad = jnp.zeros((BP, 128), jnp.int32).at[:B, :].set(
+        jnp.broadcast_to(seedv[:, None], (B, 128)))
 
     kern = _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature,
                         greedy)
@@ -285,9 +293,6 @@ def cp_decode_steps(
     def inv(a):  # grid-invariant whole-array block
         return pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
                             memory_space=pltpu.VMEM)
-
-    scalars = jnp.stack([seed.astype(jnp.int32),
-                         jnp.int32(0), jnp.int32(0), jnp.int32(0)])
 
     def lw(name):
         t: QTensor = layers[name]
@@ -302,6 +307,7 @@ def cp_decode_steps(
     d_q, d_s = lw("down_proj")
 
     operands = [
+        seeds_pad,
         tok0_pad,
         rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32),
         q_q, q_s, k_q, k_s, v_q, v_s, o_q, o_s,
@@ -319,9 +325,7 @@ def cp_decode_steps(
         heads.scale.astype(jnp.float32)[:, None, :],   # (G, 1, V)
     ]
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    for a in operands[:-3]:
-        in_specs.append(inv(a))
+    in_specs = [inv(a) for a in operands[:-3]]
     in_specs += [
         pl.BlockSpec((1, V, H), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),            # codec_embs[i]
@@ -346,7 +350,7 @@ def cp_decode_steps(
             dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(scalars, *operands)
+    )(*operands)
 
     if scalar_tok:
         return toks[:, 0, 0]

@@ -38,6 +38,21 @@ from qwen3_tts_tpu.config import (
 NEG = -1e10
 
 
+def batch_keys(key: jax.Array, B: int) -> jax.Array:
+    """Normalize a PRNG key to per-element (B, 2) form.
+
+    A single (2,) key is BROADCAST (identical per element): identical
+    requests with identical keys then produce identical outputs at any
+    batch size / slot position — the lockstep-parity contract the batched
+    tests assert. Callers wanting independent streams pass distinct
+    per-element keys (e.g. ``jax.random.split(key, B)``)."""
+    key = jnp.asarray(key)
+    if key.ndim == 1:
+        return jnp.broadcast_to(key[None], (B,) + key.shape)
+    assert key.shape[0] == B, (key.shape, B)
+    return key
+
+
 def mask_code0_logits(logits: jax.Array) -> jax.Array:
     """Allow audio codes 0..2047 + EOS 2150; suppress everything else.
 

@@ -89,12 +89,52 @@ def vocoder_param_spec(params) -> Dict:
     return jax.tree.map(lambda _: P(), params)
 
 
+def _scale_spec(p: P) -> P:
+    """Spec for a QTensor's per-out-channel scales (..., N) given the
+    dense weight's spec (..., K, N): drop the contraction axis."""
+    parts = tuple(p)
+    if len(parts) >= 2:
+        return P(*(parts[:-2] + parts[-1:]))
+    return P()
+
+
+def adapt_spec_to_params(spec, params):
+    """Adapt a dense PartitionSpec tree to a params tree that may hold
+    weight-only-int8 ``QTensor`` leaves (ops/quant.py): the int8 payload
+    keeps the dense weight's spec; the scales drop the contraction axis.
+
+    Covers the non-fused int8 layouts (quantize_code_predictor, and
+    quantize_layer_stack(fuse=False)). The FUSED talker layout
+    (qkv/gateup concat + unstacked layers_list) stays single-chip by
+    design: at serving batch sizes bf16 is measured faster than int8
+    (17.7 vs 8.1 audio-s/s at batch 4, docs/BENCHMARKS.md), so the mesh
+    tier serves bf16 talker + optional int8 CP."""
+    from qwen3_tts_tpu.ops.quant import QTensor
+
+    if isinstance(params, QTensor):
+        assert isinstance(spec, P), spec
+        return QTensor(spec, _scale_spec(spec))
+    if isinstance(params, dict):
+        out = {}
+        for k, v in params.items():
+            if k not in spec:
+                raise KeyError(
+                    f"no sharding spec for param {k!r} (fused int8 layouts "
+                    "are single-chip; quantize with fuse=False for the mesh)")
+            out[k] = adapt_spec_to_params(spec[k], v)
+        return out
+    return spec
+
+
 def param_shardings(mesh: Mesh, params: Dict) -> Dict:
-    """NamedShardings for the full parameter bundle."""
-    specs = {
-        "talker": talker_param_spec(),
-        "code_predictor": cp_param_spec(),
-    }
+    """NamedShardings for the full parameter bundle (dense or int8)."""
+    specs = {}
+    if "talker" in params:
+        specs["talker"] = adapt_spec_to_params(talker_param_spec(),
+                                               params["talker"])
+    if "code_predictor" in params:
+        specs["code_predictor"] = adapt_spec_to_params(
+            cp_param_spec(), params["code_predictor"])
     if "vocoder" in params:
         specs["vocoder"] = vocoder_param_spec(params["vocoder"])
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
@@ -123,7 +163,7 @@ def gen_state_spec(cfg: TTSConfig):
         codes=P(DP, None, None),
         n_text=P(DP),
         step=P(),
-        key=P(),
+        key=P(DP, None),   # per-element keys ride with their batch shard
     )
 
 

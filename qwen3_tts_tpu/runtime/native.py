@@ -278,24 +278,44 @@ def f32_to_i16(audio: np.ndarray) -> np.ndarray:
 
 _HANDLER_T = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
                               ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
-                              ctypes.c_int64)
+                              ctypes.c_int64, ctypes.c_int)
+
+_TTSRT_HANDLED = -2  # handler wrote frames to the fd itself (ttsrt.cc)
 
 
-def serve_unix(socket_path: str, handler: Callable[[bytes], bytes],
-               max_req: int = 1 << 20, resp_cap: int = 1 << 26) -> int:
-    """Run the native accept/framing loop; ``handler(request_bytes)`` returns
-    response bytes. Blocks until ``serve_stop()``. Native library required
-    (serve/daemon.py falls back to a pure-Python loop otherwise)."""
+def _write_all(fd: int, data: bytes) -> None:
+    view = memoryview(data)
+    while view:
+        n = os.write(fd, view)
+        view = view[n:]
+
+
+def serve_unix(socket_path: str, handler, max_req: int = 1 << 20,
+               resp_cap: int = 1 << 26) -> int:
+    """Run the native accept/framing loop. ``handler(request_bytes,
+    send_frame)`` either returns response bytes (single framed response) or
+    calls ``send_frame(payload)`` one or more times — each call writes
+    ``[u32 len][payload]`` straight to the connection (chunked/streaming
+    responses) — and returns None. Blocks until ``serve_stop()``. Native
+    library required (serve/daemon.py falls back to a pure-Python loop
+    otherwise)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libttsrt not available")
+    import struct
 
     @_HANDLER_T
-    def c_handler(req_ptr, req_len, resp_ptr, cap):
+    def c_handler(req_ptr, req_len, resp_ptr, cap, fd):
         try:
             req = ctypes.string_at(req_ptr, req_len)
-            resp = handler(req)
-            if resp is None or len(resp) > cap:
+
+            def send_frame(payload: bytes) -> None:
+                _write_all(fd, struct.pack("<I", len(payload)) + payload)
+
+            resp = handler(req, send_frame)
+            if resp is None:
+                return _TTSRT_HANDLED
+            if len(resp) > cap:
                 return -1
             ctypes.memmove(resp_ptr, resp, len(resp))
             return len(resp)

@@ -64,13 +64,17 @@ def _empty_state(cfg: TTSConfig, batch: int, dtype) -> gen.GenState:
         codes=jnp.zeros((batch, cfg.max_tokens, 16), jnp.int32),
         n_text=jnp.zeros((batch,), jnp.int32),
         step=jnp.int32(0),
-        key=jax.random.PRNGKey(0),
+        key=gen.batch_keys(jax.random.PRNGKey(0), batch),
     )
 
 
 def _insert_slot(state: gen.GenState, slot: jax.Array,
                  sub: gen.GenState) -> gen.GenState:
-    """Splice a batch-1 post-prefill state into ``slot`` of the batch."""
+    """Splice a batch-1 post-prefill state into ``slot`` of the batch.
+
+    The spliced request's PER-ELEMENT PRNG key comes along, so the seed
+    passed to submit() fully determines the request's samples — identical
+    to a solo batch-1 run with the same key (round-1 advisor finding)."""
     return gen.GenState(
         kv=state.kv.at[:, :, slot].set(sub.kv[:, :, 0]),
         pos=state.pos.at[slot].set(sub.pos[0]),
@@ -81,7 +85,7 @@ def _insert_slot(state: gen.GenState, slot: jax.Array,
         codes=state.codes.at[slot].set(0),
         n_text=state.n_text.at[slot].set(sub.n_text[0]),
         step=state.step,
-        key=state.key,
+        key=state.key.at[slot].set(sub.key[0]),
     )
 
 
@@ -105,9 +109,12 @@ class ContinuousBatcher:
 
         ``quantize_cp`` (default on): int8 code predictor, which routes
         the 14-step AR loop through the VMEM-resident Pallas kernel for
-        batch <= 8 (ops/pallas/cp_decode.py) instead of re-streaming the
-        CP layer stack 14x per token. Both knobs are single-chip only
-        (the int8 sharding specs aren't defined for the mesh path)."""
+        batch <= 8 on a single chip (ops/pallas/cp_decode.py) instead of
+        re-streaming the CP layer stack 14x per token. On a mesh the int8
+        CP runs the sharded scan path (QTensor sharding specs in
+        parallel/mesh.adapt_spec_to_params). ``quantize_talker`` stays
+        single-chip: its fused qkv/gateup int8 layout has no mesh specs
+        because bf16 is measured faster at serving batch sizes anyway."""
         self.cfg = cfg
         if quantize_talker and mesh is None:
             from qwen3_tts_tpu.ops import quant as quant_ops
@@ -115,7 +122,7 @@ class ContinuousBatcher:
                 params = {**params,
                           "talker": quant_ops.quantize_talker(
                               params["talker"])}
-        if quantize_cp and mesh is None and batch_size <= 8:
+        if quantize_cp and batch_size <= 8:
             from qwen3_tts_tpu.ops import quant as quant_ops
             from qwen3_tts_tpu.ops.quant import QTensor
             if not isinstance(params["code_predictor"]["lm_heads"],

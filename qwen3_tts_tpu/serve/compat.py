@@ -26,6 +26,7 @@ import json
 import os
 import socket
 import struct
+import sys
 import threading
 from functools import partial
 from typing import Optional
@@ -147,11 +148,24 @@ class TalkerCompatServer(_SocketServer):
 
         ids = self.tokenizer.encode(text, add_special_tokens=False)
         n = len(ids)
+        # clamp the padded prefix to the KV allocation (the engine path's
+        # truncation semantics, engine.TTSEngine._encode_text) instead of
+        # shape-erroring inside prefill on over-long texts; the reference
+        # only bounds bytes (llamacpp_talker_server.py:338), we bound
+        # tokens too
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+        limit = self.cfg.talker.max_seq_len - PREFIX_EXTRA
         bucket = 16
-        while bucket < n:
+        while bucket < n and bucket * 2 <= limit:
             bucket *= 2
+        bucket = min(bucket, limit)
+        if n > bucket:
+            print(f"warning: text truncated to {bucket} of {n} tokens "
+                  f"(max_seq_len={self.cfg.talker.max_seq_len})",
+                  file=sys.stderr)
+            n = bucket
         padded = np.zeros(bucket, np.int32)
-        padded[:n] = ids
+        padded[:n] = ids[:n]
         tp = self.params["talker"]
         hidden, kv, plen = self._prefill(tp, jnp.asarray(padded),
                                          jnp.int32(n))

@@ -9,11 +9,25 @@ with a pure-Python fallback.
 Protocol (little-endian, framing in the style of the reference's
 talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
-                            "max_tokens", "prompt_dir"?}]
+                            "max_tokens"?, "prompt_dir"?, "stream"?}]
   (prompt_dir — voice cloning — is engine-mode only; batched mode
-  returns an error for it rather than silently ignoring it)
-  response: [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens",
-                "rtf", "total_seconds", "error"?}][int16 audio...]
+  returns an error for it rather than silently ignoring it.
+  max_tokens: per-request generation cap, clamped to the engine's
+  compiled maximum.)
+
+  blob response (default):
+    [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens", "rtf",
+              "total_seconds", "error"?}][int16 audio...]
+
+  chunked response ("stream": true, engine mode only) — audio frames
+  leave the process as soon as the engine renders them, so the head
+  chunk's ~sub-second first-audio is observable by clients instead of
+  being an internal metric:
+    repeat: [u32 frame_len][u32 hdr_len][JSON {"chunk": i,
+                "n_samples"}][int16 audio...]
+    final:  [u32 frame_len][u32 hdr_len][JSON {"done": true,
+                "n_samples", "n_tokens", "rtf", "total_seconds",
+                "first_audio_seconds", "error"?}]
 """
 
 from __future__ import annotations
@@ -27,6 +41,7 @@ from typing import Optional
 
 import numpy as np
 
+from qwen3_tts_tpu.config import SAMPLES_PER_TOKEN
 from qwen3_tts_tpu.engine.engine import TTSEngine
 
 DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
@@ -68,20 +83,31 @@ class TTSDaemon:
 
     # -- request handling ---------------------------------------------------
 
-    def handle(self, req: bytes) -> bytes:
+    def handle(self, req: bytes, send_frame=None) -> Optional[bytes]:
+        """Serve one request. Returns the blob response, or None after
+        writing chunked frames through ``send_frame`` ("stream" mode)."""
         try:
             msg = json.loads(req.decode())
             text = msg.get("text", "")
             if not text:
                 return encode_response({"error": "empty text"}, None)
+            mt = msg.get("max_tokens")
+            mt = int(mt) if mt is not None else None
             if self.batcher is not None:
-                return self._handle_batched(msg, text)
+                if msg.get("stream"):
+                    return encode_response(
+                        {"error": "chunked streaming is engine-mode only; "
+                                  "use an engine-mode daemon"}, None)
+                return self._handle_batched(msg, text, mt)
+            if msg.get("stream") and send_frame is not None:
+                return self._handle_stream(msg, text, mt, send_frame)
             res = self.engine.synthesize(
                 text,
                 language=msg.get("language", "russian"),
                 streaming=bool(msg.get("streaming", False)),
                 seed=int(msg.get("seed", 0)),
                 prompt_dir=msg.get("prompt_dir"),
+                max_tokens=mt,
             )
             header = {
                 "n_samples": int(len(res.audio_int16)),
@@ -93,7 +119,42 @@ class TTSDaemon:
         except Exception as e:  # error sentinel semantics
             return encode_response({"error": str(e)}, None)
 
-    def _handle_batched(self, msg, text: str) -> bytes:
+    def _handle_stream(self, msg, text: str, mt, send_frame) -> None:
+        """Chunked-response synthesis: every engine emission becomes a
+        frame on the wire immediately (round-1 VERDICT item 7)."""
+        idx = 0
+
+        def on_chunk(audio_i16: np.ndarray) -> None:
+            nonlocal idx
+            send_frame(encode_response(
+                {"chunk": idx, "n_samples": int(len(audio_i16))},
+                audio_i16))
+            idx += 1
+
+        try:
+            res = self.engine.synthesize(
+                text,
+                language=msg.get("language", "russian"),
+                streaming=True,
+                seed=int(msg.get("seed", 0)),
+                prompt_dir=msg.get("prompt_dir"),
+                max_tokens=mt,
+                on_chunk=on_chunk,
+            )
+            send_frame(encode_response({
+                "done": True,
+                "n_samples": int(len(res.audio_int16)),
+                "n_tokens": int(res.n_tokens),
+                "rtf": float(res.rtf),
+                "total_seconds": float(res.total_seconds),
+                "first_audio_seconds": res.first_audio_seconds,
+            }, None))
+        except Exception as e:
+            send_frame(encode_response({"done": True, "error": str(e)},
+                                       None))
+        return None
+
+    def _handle_batched(self, msg, text: str, mt=None) -> bytes:
         import time as _time
 
         from qwen3_tts_tpu.models import vocoder as _voc
@@ -112,6 +173,11 @@ class TTSDaemon:
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
                                   seed=int(msg.get("seed", 0)))
         codes, audio = fut.result(timeout=600)
+        if mt is not None and len(codes) > mt:
+            # the lockstep batch decodes to the shared budget; honor the
+            # per-request cap by trimming the result
+            codes = codes[:mt]
+            audio = audio[:mt * SAMPLES_PER_TOKEN]
         audio_i16 = _voc.to_int16(audio)
         total = _time.perf_counter() - t0
         dur = len(audio_i16) / 24000.0
@@ -160,8 +226,13 @@ class TTSDaemon:
                 req = _recv_exact(conn, n)
                 if req is None:
                     return
-                resp = self.handle(req)
-                conn.sendall(struct.pack("<I", len(resp)) + resp)
+
+                def send_frame(payload: bytes) -> None:
+                    conn.sendall(struct.pack("<I", len(payload)) + payload)
+
+                resp = self.handle(req, send_frame)
+                if resp is not None:
+                    send_frame(resp)
             except Exception:
                 pass
             finally:
@@ -207,10 +278,20 @@ class DaemonClient:
 
     def synthesize(self, text: str, language: str = "russian",
                    streaming: bool = False, seed: int = 0,
-                   prompt_dir=None):
-        msg = json.dumps({"text": text, "language": language,
-                          "streaming": streaming, "seed": seed,
-                          "prompt_dir": prompt_dir}).encode()
+                   prompt_dir=None, max_tokens=None,
+                   stream: bool = False, on_chunk=None):
+        """``stream=True`` requests chunked response framing: audio frames
+        arrive as the daemon renders them (``on_chunk(header, audio)`` per
+        frame); returns the final stats header and the concatenated audio
+        either way."""
+        req = {"text": text, "language": language,
+               "streaming": streaming or stream, "seed": seed,
+               "prompt_dir": prompt_dir}
+        if max_tokens is not None:
+            req["max_tokens"] = int(max_tokens)
+        if stream:
+            req["stream"] = True
+        msg = json.dumps(req).encode()
         c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         # the daemon may still be binding (or briefly backlogged) right
         # after start; a short retry makes clients robust to that window
@@ -225,15 +306,33 @@ class DaemonClient:
                 _time.sleep(0.3 * (attempt + 1))
         try:
             c.sendall(struct.pack("<I", len(msg)) + msg)
-            raw = _recv_exact(c, 4)
-            n = struct.unpack("<I", raw)[0]
-            payload = _recv_exact(c, n)
+            if not stream:
+                raw = _recv_exact(c, 4)
+                n = struct.unpack("<I", raw)[0]
+                payload = _recv_exact(c, n)
+                header, audio = decode_response(payload)
+                if "error" in header:
+                    raise RuntimeError(header["error"])
+                return header, audio
+            # chunked framing: frames until a header carrying "done"
+            parts = []
+            while True:
+                raw = _recv_exact(c, 4)
+                if raw is None:
+                    raise RuntimeError("daemon closed mid-stream")
+                n = struct.unpack("<I", raw)[0]
+                payload = _recv_exact(c, n)
+                header, audio = decode_response(payload)
+                if on_chunk is not None:
+                    on_chunk(header, audio)
+                if header.get("done") or "error" in header:
+                    if "error" in header:
+                        raise RuntimeError(header["error"])
+                    return header, (np.concatenate(parts) if parts
+                                    else np.zeros(0, np.int16))
+                parts.append(audio)
         finally:
             c.close()
-        header, audio = decode_response(payload)
-        if "error" in header:
-            raise RuntimeError(header["error"])
-        return header, audio
 
 
 def main(argv=None) -> int:

@@ -129,3 +129,29 @@ def test_vocoder_rejects_bad_counts(stack):
         data = b""
     assert data == b""
     c.close()
+
+
+def test_talker_overlong_text_truncates_not_crashes(stack):
+    """A text whose token count exceeds the KV allocation must be served
+    (truncated, like the engine path) instead of dying in prefill with a
+    shape error (round-1 VERDICT item 9 / advisor finding)."""
+    _, (talker_sock, _, _) = stack
+    H = TTS.talker.hidden_size
+    # tiny config max_seq_len=128; ~300 chars >> 128-PREFIX_EXTRA tokens
+    text = "x" * 300
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(talker_sock)
+    msg = json.dumps({"text": text, "language": "russian"}).encode()
+    c.sendall(struct.pack("<I", len(msg)) + msg)
+    # must produce at least one (code, hidden) or a clean DONE — never a
+    # dropped connection from a compile crash
+    raw = _recv_exact(c, 4)
+    assert raw is not None
+    code0 = struct.unpack("<i", raw)[0]
+    assert code0 != compat.SENTINEL_ERROR
+    if code0 >= 0:
+        hid = _recv_exact(c, H * 4)
+        assert hid is not None
+        # answer one feedback then hang up; server must survive
+        c.sendall(np.zeros(H, np.float32).tobytes())
+    c.close()

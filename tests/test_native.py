@@ -79,7 +79,11 @@ def test_f32_to_i16_clip():
 def test_serve_unix_roundtrip(tmp_path):
     sock_path = str(tmp_path / "d.sock")
 
-    def handler(req: bytes) -> bytes:
+    def handler(req: bytes, send_frame):
+        if req == b"stream":
+            send_frame(b"frame0")
+            send_frame(b"frame1")
+            return None
         return b"echo:" + req
 
     t = threading.Thread(target=native.serve_unix,
@@ -101,6 +105,24 @@ def test_serve_unix_roundtrip(tmp_path):
         while len(data) < n:
             data += c.recv(n - len(data))
         assert data == b"echo:hello"
+        c.close()
+
+        # chunked mode: the handler writes its own frames and returns None
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock_path)
+        msg = b"stream"
+        c.sendall(struct.pack("<I", len(msg)) + msg)
+        got = []
+        for _ in range(2):
+            raw = b""
+            while len(raw) < 4:
+                raw += c.recv(4 - len(raw))
+            n = struct.unpack("<I", raw)[0]
+            data = b""
+            while len(data) < n:
+                data += c.recv(n - len(data))
+            got.append(data)
+        assert got == [b"frame0", b"frame1"]
         c.close()
     finally:
         native.serve_stop()

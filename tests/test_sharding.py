@@ -63,3 +63,46 @@ def test_sharded_matches_unsharded_decode():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_kv), np.asarray(want_kv),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_cp_sharded_matches_single_device():
+    """int8-quantized code-predictor decode on the dp x tp mesh must match
+    the single-device quantized run (VERDICT round-1 item 6: QTensor
+    sharding specs — the fast int8 config and the mesh config are no
+    longer disjoint feature sets)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qwen3_tts_tpu import config as C
+    from qwen3_tts_tpu.models import code_predictor as cp
+    from qwen3_tts_tpu.ops import quant as quant_ops
+
+    ccfg = C.CodePredictorConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16)
+    # near-greedy CP temperature: the sampled path is exercised while
+    # sharded-reduction float noise cannot flip a draw
+    scfg = C.SamplingConfig(cp_temperature=1e-3)
+    params = quant_ops.quantize_code_predictor(
+        cp.init_cp_params(jax.random.PRNGKey(0), ccfg, dtype=jnp.float32))
+
+    B = 4
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (B, 64)) * 0.3
+    c0e = jax.random.normal(jax.random.PRNGKey(2), (B, 64)) * 0.3
+    key = jax.random.PRNGKey(3)
+
+    want = np.asarray(cp.predict_codes(params, hidden, c0e, key, ccfg, scfg))
+
+    mesh = pmesh.make_mesh(2, 4)
+    spec = pmesh.adapt_spec_to_params(pmesh.cp_param_spec(), params)
+    p_sh = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, spec,
+        is_leaf=lambda n: isinstance(n, P))
+    h_sh = jax.device_put(hidden, NamedSharding(mesh, P("dp", None)))
+    c_sh = jax.device_put(c0e, NamedSharding(mesh, P("dp", None)))
+
+    with mesh:
+        got = jax.jit(
+            lambda p, h, c, k: cp.predict_codes(p, h, c, k, ccfg, scfg)
+        )(p_sh, h_sh, c_sh, key)
+
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert want.shape == (B, 15)

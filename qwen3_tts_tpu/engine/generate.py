@@ -106,7 +106,8 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
     )(logits, state.ring, state.n_codes, state.n_text, c0_keys)  # (B,)
 
     is_eos = (code0 == CODEC_EOS_ID) | (code0 >= NUM_AUDIO_CODES)
-    S = state.kv.shape[3]
+    # per-slot row bound: dense S, or the slot's allocated pages (paged)
+    S = tfm.kv_capacity(state.kv)
     has_room = (state.n_codes < cfg.max_tokens) & (state.pos < S - 1)
     active = ~state.done & ~is_eos & has_room  # producing a token now
     new_n_codes = state.n_codes + active.astype(jnp.int32)

@@ -270,7 +270,10 @@ def decode_step(
     hidden (B, H) and the updated cache. Mirrors
     llm.get_hidden(feedback, keep_history=1)."""
     geo = tfm.geometry_of(cfg)
-    if "layers_list" in params:
+    if isinstance(kv_cache, tfm.PagedKV):
+        h, kv = tfm.paged_decode_step(params["layers"], feedback, pos,
+                                      kv_cache, geo)
+    elif "layers_list" in params:
         h, kv = tfm.decode_step_unrolled(params["layers_list"], feedback,
                                          pos, kv_cache, geo)
     else:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,65 @@ def init_kv_cache(geo: TransformerGeometry, batch: int, max_seq: int,
         (geo.num_layers, 2, batch, max_seq, geo.num_kv_heads, geo.head_dim),
         dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-paged KV cache (SURVEY §7 hard part 4)
+# ---------------------------------------------------------------------------
+
+class PagedKV(NamedTuple):
+    """Block-paged KV: slots own pages of a shared pool via a page table.
+
+    Memory tracks actual usage instead of ``B x worst_case``, and a slot's
+    generation length is bounded by its ALLOCATED pages (grown by the
+    scheduler between decode chunks), not by a dense allocation.
+
+    pool:     (L, 2, P, page_size, Hkv, Dh)
+    table:    (B, MAXP) int32 — page ids in logical order; entries beyond
+              the allocation are 0 (a safe, masked page)
+    capacity: (B,) int32 — allocated rows (= n_pages_allocated * page_size)
+    """
+
+    pool: jax.Array
+    table: jax.Array
+    capacity: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.pool.shape[3]
+
+
+def init_paged_kv(geo: TransformerGeometry, batch: int, n_pages: int,
+                  page_size: int, max_pages_per_slot: int,
+                  dtype=jnp.float32) -> PagedKV:
+    return PagedKV(
+        pool=jnp.zeros((geo.num_layers, 2, n_pages, page_size,
+                        geo.num_kv_heads, geo.head_dim), dtype),
+        table=jnp.zeros((batch, max_pages_per_slot), jnp.int32),
+        capacity=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def kv_capacity(kv) -> jax.Array:
+    """Rows a slot may occupy: per-slot for paged, the dense S otherwise."""
+    if isinstance(kv, PagedKV):
+        return kv.capacity
+    return kv.shape[3]
+
+
+def paged_scatter_rows(paged: PagedKV, slot, rows_kv: jax.Array,
+                       start: int = 0) -> PagedKV:
+    """Write ``rows_kv`` (L, 2, R, Hkv, Dh) into logical rows
+    [start : start+R] of ``slot`` (used to splice a dense batch-1 prefill
+    into a slot's pages)."""
+    L, _, R, _, _ = rows_kv.shape
+    psz = paged.page_size
+    logical = start + jnp.arange(R)
+    pages = paged.table[slot, logical // psz]      # (R,)
+    rows = logical % psz
+    pool = paged.pool.at[:, :, pages, rows].set(
+        rows_kv.astype(paged.pool.dtype))
+    return paged._replace(pool=pool)
 
 
 # ---------------------------------------------------------------------------
@@ -378,6 +437,49 @@ def decode_step_unrolled(
                            layer.get("up_proj"), layer["down_proj"],
                            gateup_w=layer.get("gateup_proj"))
     return h, kv_cache
+
+def paged_decode_step(
+    params: Params,
+    x: jax.Array,          # (B, H) new-token embedding
+    pos: jax.Array,        # (B,) int32 logical write position
+    paged: PagedKV,
+    geo: TransformerGeometry,
+) -> Tuple[jax.Array, PagedKV]:
+    """decode_step against the block-paged cache: K/V land in
+    ``table[b, pos//psz]`` at row ``pos%psz``; attention runs over the
+    slot's pages (Pallas scalar-prefetch kernel on TPU,
+    ops/pallas/paged_attention.py; XLA gather elsewhere). Returns
+    (hidden (B, H), updated PagedKV)."""
+    from qwen3_tts_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention)
+
+    B = x.shape[0]
+    psz = paged.page_size
+    cos, sin = rope_cos_sin(pos[:, None], geo.head_dim, geo.rope_theta)
+    b_idx = jnp.arange(B)
+    page_ids = paged.table[b_idx, pos // psz]   # (B,)
+    rows = pos % psz
+
+    def layer_fn(h, xs):
+        layer, pool_l = xs                      # pool_l: (2, P, psz, Hkv, Dh)
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn[:, None, :], geo, cos, sin)  # T=1
+        # (2, B, Hkv, Dh): basic index on axis 0 + adjacent advanced (B,)
+        # indices on axes 1-2 keeps the kv axis leading in the update slot
+        new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(pool_l.dtype)
+        pool_l = pool_l.at[:, page_ids, rows].set(new_kv)
+        attn1 = paged_decode_attention(q[:, 0], pool_l, paged.table, pos)
+        attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
+        return h, pool_l
+
+    h, new_pool = jax.lax.scan(layer_fn, x, (params, paged.pool))
+    return h, paged._replace(pool=new_pool)
+
 
 def decode_step(
     params: Params,

@@ -51,11 +51,14 @@ class _Request:
         self.future: Future = Future()
 
 
-def _empty_state(cfg: TTSConfig, batch: int, dtype) -> gen.GenState:
+def _empty_state(cfg: TTSConfig, batch: int, dtype,
+                 paged_kv: "tfm.PagedKV" = None) -> gen.GenState:
     geo = tfm.geometry_of(cfg.talker)
     W = cfg.sampling.repetition_window
+    kv = paged_kv if paged_kv is not None else tfm.init_kv_cache(
+        geo, batch, cfg.talker.max_seq_len, dtype=dtype)
     return gen.GenState(
-        kv=tfm.init_kv_cache(geo, batch, cfg.talker.max_seq_len, dtype=dtype),
+        kv=kv,
         pos=jnp.zeros((batch,), jnp.int32),
         hidden=jnp.zeros((batch, cfg.talker.hidden_size), dtype),
         ring=jnp.full((batch, W), -1, jnp.int32),
@@ -89,13 +92,49 @@ def _insert_slot(state: gen.GenState, slot: jax.Array,
     )
 
 
+def _insert_slot_paged(state: gen.GenState, slot: jax.Array,
+                       sub: gen.GenState, table_row: jax.Array,
+                       capacity: jax.Array, *, n_rows: int) -> gen.GenState:
+    """Paged variant of _insert_slot: install the slot's page-table row and
+    capacity, then splice the first ``n_rows`` dense prefill rows into its
+    pages."""
+    paged = state.kv._replace(
+        table=state.kv.table.at[slot].set(table_row),
+        capacity=state.kv.capacity.at[slot].set(capacity))
+    paged = tfm.paged_scatter_rows(paged, slot, sub.kv[:, :, 0, :n_rows])
+    return gen.GenState(
+        kv=paged,
+        pos=state.pos.at[slot].set(sub.pos[0]),
+        hidden=state.hidden.at[slot].set(sub.hidden[0]),
+        ring=state.ring.at[slot].set(sub.ring[0]),
+        n_codes=state.n_codes.at[slot].set(0),
+        done=state.done.at[slot].set(False),
+        codes=state.codes.at[slot].set(0),
+        n_text=state.n_text.at[slot].set(sub.n_text[0]),
+        step=state.step,
+        key=state.key.at[slot].set(sub.key[0]),
+    )
+
+
 class ContinuousBatcher:
-    """Fixed-slot continuous batching scheduler over the fused decode loop."""
+    """Fixed-slot continuous batching scheduler over the fused decode loop.
+
+    ``paged=True`` switches the talker KV to the block-paged pool
+    (models/transformer.PagedKV + ops/pallas/paged_attention): slots own
+    ``page_size``-row pages of a shared pool via per-slot page tables; the
+    scheduler grows a slot's table between decode chunks and recycles
+    pages at harvest. Generation length then decouples from a dense
+    ``max_seq_len`` allocation — a single request can run to
+    ``cfg.max_tokens`` even past the dense cap, and pool memory tracks
+    actual usage instead of batch x worst-case (SURVEY §7 hard part 4)."""
 
     def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
                  decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None,
                  quantize_talker: bool = False,
-                 quantize_cp: bool = True):
+                 quantize_cp: bool = True,
+                 paged: bool = False, page_size: int = 64,
+                 pool_pages: Optional[int] = None,
+                 max_pages_per_slot: Optional[int] = None):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
@@ -148,8 +187,58 @@ class ContinuousBatcher:
         self.decode_chunk = decode_chunk
         self.dtype = dtype
 
+        self.paged = paged
+        paged_kv = None
+        if paged:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "paged KV sharding specs are not defined for the mesh "
+                    "path yet; use paged=True on a single chip")
+            geo = tfm.geometry_of(cfg.talker)
+            self.page_size = page_size
+            # default pool: enough pages for every slot to reach
+            # max_tokens + a max-size prefix — same worst-case ceiling as
+            # dense, but shareable: one long request can use pages idle
+            # slots don't
+            from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+            worst = cfg.max_tokens + 256 + PREFIX_EXTRA + page_size
+            per_slot = -(-worst // page_size)
+            self.max_pages_per_slot = max_pages_per_slot or per_slot
+            # page 0 stays unallocated: zero-filled table entries resolve
+            # to it and reads are masked by position
+            self.pool_pages = pool_pages or (batch_size * per_slot + 1)
+            paged_kv = tfm.init_paged_kv(
+                geo, batch_size, self.pool_pages, page_size,
+                self.max_pages_per_slot, dtype=dtype)
+            self._free_pages = list(range(1, self.pool_pages))
+            self._slot_pages: List[List[int]] = [[] for _ in
+                                                 range(batch_size)]
+
+            def _grow_fn(state, slot, idx, page):
+                kv = state.kv._replace(
+                    table=state.kv.table.at[slot, idx].set(page),
+                    capacity=state.kv.capacity.at[slot].add(page_size))
+                return state._replace(kv=kv)
+
+            def _release_fn(state, slot):
+                # zero the slot's table row BEFORE its pages recycle:
+                # frozen (done) slots keep rewriting K/V at their last
+                # position every chunk, and through a stale table that
+                # write would corrupt pages reallocated to other slots.
+                # Zeroed entries land in reserved page 0 (never read:
+                # logical reads are masked by pos within capacity).
+                kv = state.kv._replace(
+                    table=state.kv.table.at[slot].set(0),
+                    capacity=state.kv.capacity.at[slot].set(0))
+                return state._replace(kv=kv)
+
+            self._grow = jax.jit(_grow_fn)
+            self._release = jax.jit(_release_fn)
+            self._insert_paged = jax.jit(_insert_slot_paged,
+                                         static_argnames=("n_rows",))
+
         tp = params["talker"]
-        self._state = _empty_state(cfg, batch_size, dtype)
+        self._state = _empty_state(cfg, batch_size, dtype, paged_kv)
         if self._state_shardings is not None:
             self._state = jax.device_put(self._state, self._state_shardings)
         self._slot_req: List[Optional[_Request]] = [None] * batch_size
@@ -157,13 +246,17 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
-        self._prefill_one = jax.jit(
-            lambda tp, ids, n_text, key: gen.init_state(
-                tp,
-                tk.build_prefix(tp, ids, n_text)[0][None].astype(
-                    tp["codec_embedding"].dtype),
-                tk.build_prefix(tp, ids, n_text)[1][None],
-                n_text[None], key, cfg))
+        def _prefill_fn(pcfg):
+            def fn(tp, ids, n_text, key):
+                prefix, plen = tk.build_prefix(tp, ids, n_text)
+                return gen.init_state(
+                    tp, prefix[None].astype(tp["codec_embedding"].dtype),
+                    plen[None], n_text[None], key, pcfg)
+            return jax.jit(fn)
+
+        self._prefill_one = _prefill_fn(cfg)
+        self._prefill_cache: Dict[int, object] = {}
+        self._backlog: List[_Request] = []
         self._insert = jax.jit(_insert_slot)
 
         def _run_fn(tp, cpp, s):
@@ -201,21 +294,98 @@ class ContinuousBatcher:
         return [i for i in range(self.batch_size)
                 if done[i] and self._slot_req[i] is None]
 
+    def _next_request(self) -> Optional[_Request]:
+        if self._backlog:
+            return self._backlog.pop(0)
+        try:
+            return self._queue.get_nowait()
+        except queue.Empty:
+            return None
+
     def _admit(self) -> int:
         done = np.asarray(jax.device_get(self._state.done))
         admitted = 0
         for slot in self._free_slots(done):
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
+            req = self._next_request()
+            if req is None:
                 break
-            sub = self._prefill_one(self.params["talker"], req.text_ids,
-                                    req.n_text,
-                                    jax.random.PRNGKey(req.seed))
-            self._state = self._insert(self._state, jnp.int32(slot), sub)
+            if self.paged:
+                if not self._admit_paged(slot, req):
+                    self._backlog.append(req)   # pool pressure: retry later
+                    break
+            else:
+                sub = self._prefill_one(self.params["talker"], req.text_ids,
+                                        req.n_text,
+                                        jax.random.PRNGKey(req.seed))
+                self._state = self._insert(self._state, jnp.int32(slot), sub)
             self._slot_req[slot] = req
             admitted += 1
         return admitted
+
+    def _admit_paged(self, slot: int, req: "_Request") -> bool:
+        """Allocate pages for the request's prefix (+ one chunk of
+        headroom), prefill into a page-sized dense window, splice into the
+        slot. Returns False when the pool can't cover the prefix yet."""
+        import dataclasses
+
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+
+        psz = self.page_size
+        p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
+        need = -(-(p_pad + self.decode_chunk + 2) // psz)
+        need = min(need, self.max_pages_per_slot)
+        if need * psz < p_pad or len(self._free_pages) < need:
+            return False
+
+        s_pre = -(-p_pad // psz) * psz   # dense prefill window, page-aligned
+        fn = self._prefill_cache.get(s_pre)
+        if fn is None:
+            pcfg = dataclasses.replace(
+                self.cfg, talker=dataclasses.replace(
+                    self.cfg.talker, max_seq_len=s_pre))
+
+            def make(pcfg):
+                def f(tp, ids, n_text, key):
+                    prefix, plen = tk.build_prefix(tp, ids, n_text)
+                    return gen.init_state(
+                        tp, prefix[None].astype(tp["codec_embedding"].dtype),
+                        plen[None], n_text[None], key, pcfg)
+                return jax.jit(f)
+
+            fn = self._prefill_cache[s_pre] = make(pcfg)
+        sub = fn(self.params["talker"], req.text_ids, req.n_text,
+                 jax.random.PRNGKey(req.seed))
+
+        pages = [self._free_pages.pop() for _ in range(need)]
+        table_row = np.zeros((self.max_pages_per_slot,), np.int32)
+        table_row[:need] = pages
+        self._state = self._insert_paged(
+            self._state, jnp.int32(slot), sub, jnp.asarray(table_row),
+            jnp.int32(need * psz), n_rows=p_pad)
+        self._slot_pages[slot] = pages
+        return True
+
+    def _top_up_pages(self) -> None:
+        """Grow page tables so no active slot hits its capacity inside the
+        coming decode chunk (pages allocate between chunks, never inside
+        the jitted loop)."""
+        pos = np.asarray(jax.device_get(self._state.pos))
+        done = np.asarray(jax.device_get(self._state.done))
+        psz = self.page_size
+        for slot in range(self.batch_size):
+            if self._slot_req[slot] is None or done[slot]:
+                continue
+            while (len(self._slot_pages[slot]) * psz - int(pos[slot])
+                   < self.decode_chunk + 2):
+                if (not self._free_pages
+                        or len(self._slot_pages[slot])
+                        >= self.max_pages_per_slot):
+                    break   # pool exhausted: the slot finishes at capacity
+                page = self._free_pages.pop()
+                idx = len(self._slot_pages[slot])
+                self._state = self._grow(self._state, jnp.int32(slot),
+                                         jnp.int32(idx), jnp.int32(page))
+                self._slot_pages[slot].append(page)
 
     def _harvest(self) -> int:
         done = np.asarray(jax.device_get(self._state.done))
@@ -240,6 +410,10 @@ class ContinuousBatcher:
             except Exception as e:
                 req.future.set_exception(e)
             self._slot_req[slot] = None
+            if self.paged:
+                self._state = self._release(self._state, jnp.int32(slot))
+                self._free_pages.extend(self._slot_pages[slot])
+                self._slot_pages[slot] = []
             finished += 1
         return finished
 
@@ -248,6 +422,8 @@ class ContinuousBatcher:
         admitted = self._admit()
         busy = any(r is not None for r in self._slot_req)
         if busy:
+            if self.paged:
+                self._top_up_pages()
             self._state = self._run(self.params["talker"],
                                     self.params["code_predictor"],
                                     self._state)

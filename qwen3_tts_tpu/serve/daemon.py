@@ -356,6 +356,12 @@ def main(argv=None) -> int:
                         "iteration: larger = more throughput (48: 17.7 "
                         "audio-s/s at batch 4), smaller = faster "
                         "admission of new requests")
+    p.add_argument("--paged", action="store_true",
+                   help="Batched mode with a block-paged KV pool: per-slot "
+                        "page tables grown on demand, so generation length "
+                        "decouples from the dense max_seq_len allocation "
+                        "and KV memory tracks actual usage")
+    p.add_argument("--page_size", type=int, default=64)
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
@@ -389,7 +395,9 @@ def main(argv=None) -> int:
         from qwen3_tts_tpu.serve.batching import ContinuousBatcher
         batcher = ContinuousBatcher(cfg, engine.params,
                                     batch_size=args.batch, dtype=dtype,
-                                    decode_chunk=args.decode_chunk)
+                                    decode_chunk=args.decode_chunk,
+                                    paged=args.paged,
+                                    page_size=args.page_size)
     daemon = TTSDaemon(engine, args.socket, batcher=batcher)
     print(f"TTS daemon listening on {args.socket}", flush=True)
     daemon.serve(native_loop=not args.python_loop)

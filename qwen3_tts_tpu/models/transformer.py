@@ -438,27 +438,79 @@ def decode_step_unrolled(
                            gateup_w=layer.get("gateup_proj"))
     return h, kv_cache
 
+def _paged_write_attend_local(q1: jax.Array, new_kv: jax.Array,
+                              pool_l: jax.Array, table: jax.Array,
+                              pos: jax.Array, *, psz: int,
+                              p_local: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-dp-shard paged KV write + attention (runs inside shard_map;
+    every array is this shard's local block: q1 (B/dp, Hq/tp, Dh), new_kv
+    (2, B/dp, Hkv/tp, Dh), pool_l (2, P/dp, psz, Hkv/tp, Dh)).
+
+    The table holds GLOBAL page ids; the batcher allocates a slot's pages
+    only from its dp group's range [g*p_local, (g+1)*p_local), so attention
+    is embarrassingly parallel — localize by subtracting the group's base.
+    Zeroed/released entries clamp to local page 0 (reserved per group;
+    reads there are masked by pos, and frozen-slot rewrites land in it
+    harmlessly)."""
+    from qwen3_tts_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention)
+
+    dp_idx = jax.lax.axis_index("dp")
+    ltable = jnp.clip(table - dp_idx * p_local, 0, p_local - 1)
+    b = jnp.arange(q1.shape[0])
+    pids = ltable[b, pos // psz]
+    rows = pos % psz
+    pool_l = pool_l.at[:, pids, rows].set(new_kv)
+    attn1 = paged_decode_attention(q1, pool_l, ltable, pos)
+    return attn1, pool_l
+
+
 def paged_decode_step(
     params: Params,
     x: jax.Array,          # (B, H) new-token embedding
     pos: jax.Array,        # (B,) int32 logical write position
     paged: PagedKV,
     geo: TransformerGeometry,
+    mesh=None,
 ) -> Tuple[jax.Array, PagedKV]:
     """decode_step against the block-paged cache: K/V land in
     ``table[b, pos//psz]`` at row ``pos%psz``; attention runs over the
     slot's pages (Pallas scalar-prefetch kernel on TPU,
     ops/pallas/paged_attention.py; XLA gather elsewhere). Returns
-    (hidden (B, H), updated PagedKV)."""
+    (hidden (B, H), updated PagedKV).
+
+    ``mesh`` (optional dp x tp jax.sharding.Mesh): the write + attention
+    run under shard_map — pages sharded over dp (each dp group owns a
+    contiguous page range, allocated that way by the batcher), kv heads
+    over tp — because a GSPMD gather over a dp-sharded page axis would
+    materialize cross-shard collectives of the whole logical KV per step.
+    Everything around it (qkv/o_proj/mlp) stays GSPMD like the dense mesh
+    path (parallel/mesh.py)."""
     from qwen3_tts_tpu.ops.pallas.paged_attention import (
         paged_decode_attention)
 
     B = x.shape[0]
     psz = paged.page_size
     cos, sin = rope_cos_sin(pos[:, None], geo.head_dim, geo.rope_theta)
-    b_idx = jnp.arange(B)
-    page_ids = paged.table[b_idx, pos // psz]   # (B,)
-    rows = pos % psz
+    if mesh is None:
+        b_idx = jnp.arange(B)
+        page_ids = paged.table[b_idx, pos // psz]   # (B,)
+        rows = pos % psz
+        write_attend = None
+    else:
+        from jax.sharding import PartitionSpec as P
+        p_local = paged.pool.shape[2] // mesh.shape["dp"]
+        write_attend = jax.shard_map(
+            partial(_paged_write_attend_local, psz=psz, p_local=p_local),
+            mesh=mesh,
+            in_specs=(P("dp", "tp", None),            # q1 (B, Hq, Dh)
+                      P(None, "dp", "tp", None),      # new_kv (2,B,Hkv,Dh)
+                      P(None, "dp", None, "tp", None),  # pool_l
+                      P("dp", None),                  # table
+                      P("dp")),                       # pos
+            out_specs=(P("dp", "tp"),                 # attn (B, Hq*Dh)
+                       P(None, "dp", None, "tp", None)),
+            check_vma=False)
 
     def layer_fn(h, xs):
         layer, pool_l = xs                      # pool_l: (2, P, psz, Hkv, Dh)
@@ -467,8 +519,12 @@ def paged_decode_step(
         # (2, B, Hkv, Dh): basic index on axis 0 + adjacent advanced (B,)
         # indices on axes 1-2 keeps the kv axis leading in the update slot
         new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(pool_l.dtype)
-        pool_l = pool_l.at[:, page_ids, rows].set(new_kv)
-        attn1 = paged_decode_attention(q[:, 0], pool_l, paged.table, pos)
+        if write_attend is None:
+            pool_l = pool_l.at[:, page_ids, rows].set(new_kv)
+            attn1 = paged_decode_attention(q[:, 0], pool_l, paged.table, pos)
+        else:
+            attn1, pool_l = write_attend(q[:, 0], new_kv, pool_l,
+                                         paged.table, pos)
         attn = quant.matmul(attn1, layer["o_proj"]).astype(h.dtype)
         h = h + attn
         hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)

@@ -37,6 +37,37 @@ from qwen3_tts_tpu.config import (
 
 NEG = -1e10
 
+_HOST_KEY_OK = None  # lazily validated once per process
+
+
+def _host_key_np(seed: int):
+    import numpy as np
+    return np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                    np.uint32)
+
+
+def host_prng_key(seed: int):
+    """``jax.random.PRNGKey(seed)`` computed on the HOST (numpy).
+
+    Why: an eager ``PRNGKey`` dispatched through a tunneled TPU costs a
+    round trip per request — and the first prefix-cache-hit streaming
+    request paid a one-off ~10 s compile (0.4 s via the persistent cache)
+    for the eager key broadcast in the hot path, tripping the bench's
+    stream-RTF guard. The threefry2x32 key layout is simply
+    ``[seed>>32, seed&0xffffffff]`` (uint32); we validate that against
+    the real op once per process and fall back to the device op if the
+    default PRNG impl ever changes."""
+    import numpy as np
+
+    global _HOST_KEY_OK
+    if _HOST_KEY_OK is None:
+        probe = 0x1234ABCD5678
+        _HOST_KEY_OK = bool(np.array_equal(
+            np.asarray(jax.random.PRNGKey(probe)), _host_key_np(probe)))
+    if _HOST_KEY_OK:
+        return _host_key_np(int(seed))
+    return jax.random.PRNGKey(seed)
+
 
 def batch_keys(key: jax.Array, B: int) -> jax.Array:
     """Normalize a PRNG key to per-element (B, 2) form.
@@ -45,7 +76,18 @@ def batch_keys(key: jax.Array, B: int) -> jax.Array:
     requests with identical keys then produce identical outputs at any
     batch size / slot position — the lockstep-parity contract the batched
     tests assert. Callers wanting independent streams pass distinct
-    per-element keys (e.g. ``jax.random.split(key, B)``)."""
+    per-element keys (e.g. ``jax.random.split(key, B)``).
+
+    Host numpy keys (host_prng_key) stay on the host: the broadcast is a
+    numpy view, and the key enters the device only as an argument of the
+    next jitted program — no eager dispatch."""
+    import numpy as np
+
+    if isinstance(key, np.ndarray) and not isinstance(key, jax.Array):
+        if key.ndim == 1:
+            return np.broadcast_to(key[None], (B,) + key.shape)
+        assert key.shape[0] == B, (key.shape, B)
+        return key
     key = jnp.asarray(key)
     if key.ndim == 1:
         return jnp.broadcast_to(key[None], (B,) + key.shape)

@@ -150,11 +150,26 @@ def kv_cache_spec() -> P:
     return P(None, None, DP, None, TP, None)
 
 
-def gen_state_spec(cfg: TTSConfig):
+def paged_kv_spec():
+    """Specs for the block-paged KV (models/transformer.PagedKV).
+
+    pool (L, 2, P, psz, Hkv, Dh): pages over dp (each dp group owns a
+    contiguous page range — the batcher allocates per group so the
+    shard_map'd paged attention never crosses dp shards), kv heads over
+    tp. table/capacity ride with their batch shard."""
+    from qwen3_tts_tpu.models.transformer import PagedKV
+    return PagedKV(
+        pool=P(None, None, DP, None, TP, None),
+        table=P(DP, None),
+        capacity=P(DP),
+    )
+
+
+def gen_state_spec(cfg: TTSConfig, paged: bool = False):
     """PartitionSpec tree matching engine.generate.GenState."""
     from qwen3_tts_tpu.engine.generate import GenState
     return GenState(
-        kv=kv_cache_spec(),
+        kv=paged_kv_spec() if paged else kv_cache_spec(),
         pos=P(DP),
         hidden=P(DP, None),
         ring=P(DP, None),

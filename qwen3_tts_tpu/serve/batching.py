@@ -41,6 +41,7 @@ from qwen3_tts_tpu.engine import generate as gen
 from qwen3_tts_tpu.models import talker as tk
 from qwen3_tts_tpu.models import transformer as tfm
 from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.ops import sampling as smp
 
 
 class _Request:
@@ -67,7 +68,7 @@ def _empty_state(cfg: TTSConfig, batch: int, dtype,
         codes=jnp.zeros((batch, cfg.max_tokens, 16), jnp.int32),
         n_text=jnp.zeros((batch,), jnp.int32),
         step=jnp.int32(0),
-        key=gen.batch_keys(jax.random.PRNGKey(0), batch),
+        key=gen.batch_keys(smp.host_prng_key(0), batch),
     )
 
 
@@ -126,7 +127,12 @@ class ContinuousBatcher:
     pages at harvest. Generation length then decouples from a dense
     ``max_seq_len`` allocation — a single request can run to
     ``cfg.max_tokens`` even past the dense cap, and pool memory tracks
-    actual usage instead of batch x worst-case (SURVEY §7 hard part 4)."""
+    actual usage instead of batch x worst-case (SURVEY §7 hard part 4).
+
+    Paged composes with ``mesh``: pages shard over dp as per-group
+    sub-pools (allocation never crosses a group, so the shard_map'd paged
+    attention stays collective-free), kv heads over tp
+    (parallel/mesh.paged_kv_spec)."""
 
     def __init__(self, cfg: TTSConfig, params: Dict, batch_size: int = 4,
                  decode_chunk: int = 16, dtype=jnp.bfloat16, mesh=None,
@@ -178,7 +184,7 @@ class ContinuousBatcher:
             params = {**params, **pmesh.shard_params(mesh, core)}
             self._state_shardings = jax.tree.map(
                 lambda sp: jax.sharding.NamedSharding(mesh, sp),
-                pmesh.gen_state_spec(cfg),
+                pmesh.gen_state_spec(cfg, paged=paged),
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
         else:
             self._state_shardings = None
@@ -190,10 +196,6 @@ class ContinuousBatcher:
         self.paged = paged
         paged_kv = None
         if paged:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "paged KV sharding specs are not defined for the mesh "
-                    "path yet; use paged=True on a single chip")
             geo = tfm.geometry_of(cfg.talker)
             self.page_size = page_size
             # default pool: enough pages for every slot to reach
@@ -204,13 +206,30 @@ class ContinuousBatcher:
             worst = cfg.max_tokens + 256 + PREFIX_EXTRA + page_size
             per_slot = -(-worst // page_size)
             self.max_pages_per_slot = max_pages_per_slot or per_slot
-            # page 0 stays unallocated: zero-filled table entries resolve
-            # to it and reads are masked by position
-            self.pool_pages = pool_pages or (batch_size * per_slot + 1)
+            # On a mesh, pages shard over dp (parallel/mesh.paged_kv_spec):
+            # the pool splits into one contiguous sub-pool per dp group and
+            # a slot only ever holds pages from ITS group's range, so the
+            # shard_map'd paged attention (tfm._paged_write_attend_local)
+            # stays local to the shard. Page g*pages_per_group of each
+            # group is reserved: zeroed table entries localize to it.
+            # Single chip is the 1-group special case (reserved page 0).
+            self._n_groups = mesh.shape["dp"] if mesh is not None else 1
+            if batch_size % self._n_groups:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by dp "
+                    f"{self._n_groups}")
+            slots_per_group = batch_size // self._n_groups
+            per_group = slots_per_group * per_slot + 1
+            if pool_pages:
+                per_group = -(-pool_pages // self._n_groups)
+            self._pages_per_group = per_group
+            self.pool_pages = per_group * self._n_groups
             paged_kv = tfm.init_paged_kv(
                 geo, batch_size, self.pool_pages, page_size,
                 self.max_pages_per_slot, dtype=dtype)
-            self._free_pages = list(range(1, self.pool_pages))
+            self._free_by_group: List[List[int]] = [
+                list(range(g * per_group + 1, (g + 1) * per_group))
+                for g in range(self._n_groups)]
             self._slot_pages: List[List[int]] = [[] for _ in
                                                  range(batch_size)]
 
@@ -262,7 +281,10 @@ class ContinuousBatcher:
         def _run_fn(tp, cpp, s):
             if self._state_shardings is not None:
                 s = jax.lax.with_sharding_constraint(s, self._state_shardings)
-            return gen.run_steps(tp, cpp, s, cfg, jnp.int32(decode_chunk))
+            # the dense mesh path is pure GSPMD; only the paged path needs
+            # the mesh object (shard_map inside the paged attention)
+            return gen.run_steps(tp, cpp, s, cfg, jnp.int32(decode_chunk),
+                                 mesh=mesh if paged else None)
 
         self._run = jax.jit(_run_fn)
         self._voc = jax.jit(
@@ -294,6 +316,16 @@ class ContinuousBatcher:
         return [i for i in range(self.batch_size)
                 if done[i] and self._slot_req[i] is None]
 
+    def _slot_group(self, slot: int) -> int:
+        """dp group owning ``slot`` (slots shard over dp in contiguous
+        blocks, so group = slot // slots_per_group)."""
+        return slot // (self.batch_size // self._n_groups)
+
+    @property
+    def _free_pages(self) -> List[int]:
+        """All free page ids across groups (diagnostics/tests)."""
+        return [p for g in self._free_by_group for p in g]
+
     def _next_request(self) -> Optional[_Request]:
         if self._backlog:
             return self._backlog.pop(0)
@@ -316,7 +348,7 @@ class ContinuousBatcher:
             else:
                 sub = self._prefill_one(self.params["talker"], req.text_ids,
                                         req.n_text,
-                                        jax.random.PRNGKey(req.seed))
+                                        smp.host_prng_key(req.seed))
                 self._state = self._insert(self._state, jnp.int32(slot), sub)
             self._slot_req[slot] = req
             admitted += 1
@@ -331,10 +363,11 @@ class ContinuousBatcher:
         from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
 
         psz = self.page_size
+        free = self._free_by_group[self._slot_group(slot)]
         p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
         need = -(-(p_pad + self.decode_chunk + 2) // psz)
         need = min(need, self.max_pages_per_slot)
-        if need * psz < p_pad or len(self._free_pages) < need:
+        if need * psz < p_pad or len(free) < need:
             return False
 
         s_pre = -(-p_pad // psz) * psz   # dense prefill window, page-aligned
@@ -354,9 +387,9 @@ class ContinuousBatcher:
 
             fn = self._prefill_cache[s_pre] = make(pcfg)
         sub = fn(self.params["talker"], req.text_ids, req.n_text,
-                 jax.random.PRNGKey(req.seed))
+                 smp.host_prng_key(req.seed))
 
-        pages = [self._free_pages.pop() for _ in range(need)]
+        pages = [free.pop() for _ in range(need)]
         table_row = np.zeros((self.max_pages_per_slot,), np.int32)
         table_row[:need] = pages
         self._state = self._insert_paged(
@@ -375,13 +408,14 @@ class ContinuousBatcher:
         for slot in range(self.batch_size):
             if self._slot_req[slot] is None or done[slot]:
                 continue
+            free = self._free_by_group[self._slot_group(slot)]
             while (len(self._slot_pages[slot]) * psz - int(pos[slot])
                    < self.decode_chunk + 2):
-                if (not self._free_pages
+                if (not free
                         or len(self._slot_pages[slot])
                         >= self.max_pages_per_slot):
                     break   # pool exhausted: the slot finishes at capacity
-                page = self._free_pages.pop()
+                page = free.pop()
                 idx = len(self._slot_pages[slot])
                 self._state = self._grow(self._state, jnp.int32(slot),
                                          jnp.int32(idx), jnp.int32(page))
@@ -412,7 +446,8 @@ class ContinuousBatcher:
             self._slot_req[slot] = None
             if self.paged:
                 self._state = self._release(self._state, jnp.int32(slot))
-                self._free_pages.extend(self._slot_pages[slot])
+                self._free_by_group[self._slot_group(slot)].extend(
+                    self._slot_pages[slot])
                 self._slot_pages[slot] = []
             finished += 1
         return finished

@@ -173,7 +173,7 @@ class TalkerCompatServer(_SocketServer):
         pos = jnp.asarray([int(plen)], jnp.int32)
 
         ring = jnp.full((self.cfg.sampling.repetition_window,), -1, jnp.int32)
-        key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+        key = smp.host_prng_key(int.from_bytes(os.urandom(4), "little"))
         out_tokens = 0
         for i in range(self.cfg.max_tokens):
             key, k1 = jax.random.split(key)
@@ -230,7 +230,7 @@ class CodePredictorCompatServer(_SocketServer):
             return
         code0 = struct.unpack("<i", code_data)[0]
         hidden = jnp.asarray(np.frombuffer(hidden_data, np.float32).copy())
-        key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+        key = smp.host_prng_key(int.from_bytes(os.urandom(4), "little"))
         codes = np.asarray(self._predict(
             self.params["talker"], self.params["code_predictor"],
             hidden, jnp.int32(code0), key), np.int32)

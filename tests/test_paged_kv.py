@@ -171,6 +171,45 @@ def test_paged_batcher_deterministic_and_concurrent(long_cfg_params):
     assert len(c2) > 0
 
 
+def test_paged_batcher_on_mesh(long_cfg_params):
+    """Paged KV on the dp x tp mesh: pages shard over dp as per-group
+    sub-pools, kv heads over tp; the shard_map'd attention
+    (tfm._paged_write_attend_local) must serve requests past the dense
+    cap exactly like the single-chip paged path does, with page
+    allocation confined to each slot's dp group."""
+    from qwen3_tts_tpu.parallel import mesh as pmesh
+
+    cfg, params = long_cfg_params
+    # tiny geometry has 2 kv heads -> tp=2 is the max that divides evenly
+    mesh = pmesh.make_mesh(2, 2)
+    with mesh:
+        b = _paged_batcher(cfg, params, batch_size=2, decode_chunk=8,
+                           page_size=16, mesh=mesh)
+        ids1 = np.arange(1000, 1030, dtype=np.int32)   # 30 text tokens
+        ids2 = np.arange(700, 715, dtype=np.int32)
+        f1 = b.submit(ids1, 30, seed=12)
+        f2 = b.submit(ids2, 15, seed=6)
+        for _ in range(600):
+            if f1.done() and f2.done():
+                break
+            b.step()
+        c1, a1 = f1.result(timeout=1)
+        c2, a2 = f2.result(timeout=1)
+
+    from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+    dense_cap = cfg.talker.max_seq_len - 1 - (30 + PREFIX_EXTRA)
+    assert len(c1) > dense_cap, (len(c1), dense_cap)
+    assert (c1 < 2048).all() and c1.shape[1] == 16
+    assert len(a1) == len(c1) * 1920 and len(a2) == len(c2) * 1920
+
+    # slot 0 (group 0) and slot 1 (group 1) drew pages from disjoint
+    # per-group ranges; all recycled at harvest
+    assert b._n_groups == 2
+    for g, free in enumerate(b._free_by_group):
+        lo, hi = g * b._pages_per_group, (g + 1) * b._pages_per_group
+        assert sorted(free) == list(range(lo + 1, hi))
+
+
 def test_paged_pool_exhaustion_degrades_gracefully(long_cfg_params):
     """With a deliberately tiny pool, a long request finishes at its page
     capacity instead of erroring, and the pool is recycled after."""

@@ -94,12 +94,14 @@ def main() -> None:
             f"audio={res.audio_seconds:.2f}s RTF={res.rtf:.4f}")
 
     # first-audio: streaming with head chunks. Texts are distinct from the
-    # non-streaming trials' so these measure the fused cache-miss path
-    # (the cache-HIT variant is warmed above and costs the same steady
-    # state, measured 0.06 s prefill both ways)
+    # non-streaming trials' (so these measure the fused cache-miss path;
+    # the cache-HIT variant is warmed above and costs the same steady
+    # state) but stay inside the same 32-token pad bucket — a longer text
+    # would cross into bucket 64 and eat a fresh prefill compile
+    stream_text = "stream bench phrase of token"  # 28 chars, bucket 32
     first_audio, stream_rtfs = [], []
     for trial in range(3):
-        res = engine.synthesize(text + "!" * (trial + 5),
+        res = engine.synthesize(stream_text + "!" * trial,
                                 language="english",
                                 streaming=True, seed=20 + trial)
         if res.first_audio_seconds is not None:

@@ -1,0 +1,103 @@
+"""Multi-host topology helpers (parallel/multihost.py).
+
+Real DCN needs multiple processes; what IS testable single-process: the
+placement rule (tp groups never cross a host), host-major dp ordering,
+slot routing, env-driven init gating, and that the serving mesh actually
+drives the sharded batcher.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.parallel import mesh as pmesh
+from qwen3_tts_tpu.parallel import multihost as mh
+
+
+def test_init_distributed_noop_single_process(monkeypatch):
+    monkeypatch.delenv("QWEN3_TTS_COORDINATOR", raising=False)
+    monkeypatch.setenv("QWEN3_TTS_NUM_PROCESSES", "1")
+    assert mh.init_distributed() is False
+    # coordinator set but one process: still a no-op
+    monkeypatch.setenv("QWEN3_TTS_COORDINATOR", "localhost:9999")
+    assert mh.init_distributed(num_processes=1) is False
+
+
+def test_make_serving_mesh_shapes():
+    m = mh.make_serving_mesh(tp=4)
+    assert m.shape == {"dp": 2, "tp": 4}
+    m = mh.make_serving_mesh(tp=2, dp=2)
+    assert m.shape == {"dp": 2, "tp": 2}
+    with pytest.raises(ValueError):
+        mh.make_serving_mesh(tp=3)  # 8 local devices not divisible
+    with pytest.raises(ValueError):
+        mh.make_serving_mesh(tp=4, dp=5)
+
+
+class _FakeDev:
+    """Stand-in device with a process_index (enough for the layout math)."""
+
+    def __init__(self, pid, i):
+        self.process_index = pid
+        self.id = pid * 100 + i
+
+    def __repr__(self):
+        return f"dev({self.process_index},{self.id})"
+
+
+def test_tp_groups_never_cross_hosts():
+    """4 hosts x 4 devices, tp=4: every tp row must be single-host, and
+    dp rows must enumerate hosts in order (host-major)."""
+    devs = [_FakeDev(p, i) for p in range(4) for i in range(4)]
+    # scramble: interleave hosts the way jax.devices() never guarantees
+    scrambled = devs[::2] + devs[1::2]
+    m_grid = mh.make_serving_mesh(tp=4, devices=scrambled).devices
+    assert m_grid.shape == (4, 4)
+    for row in range(4):
+        pids = {d.process_index for d in m_grid[row]}
+        assert len(pids) == 1, f"tp group {row} crosses hosts: {pids}"
+    assert [m_grid[r, 0].process_index for r in range(4)] == [0, 1, 2, 3]
+
+
+def test_uneven_host_rejected():
+    devs = [_FakeDev(0, i) for i in range(4)] + [_FakeDev(1, i)
+                                                 for i in range(2)]
+    with pytest.raises(ValueError, match="must not cross hosts"):
+        mh.make_serving_mesh(tp=4, devices=devs)
+
+
+def test_host_slot_range():
+    devs = [_FakeDev(p, i) for p in range(2) for i in range(4)]
+    m = mh.make_serving_mesh(tp=2, devices=devs)   # dp=4: rows 0-1 host0
+    assert m.shape == {"dp": 4, "tp": 2}
+    assert mh.host_slot_range(m, batch_size=8, process_index=0) == (0, 4)
+    assert mh.host_slot_range(m, batch_size=8, process_index=1) == (4, 8)
+    assert mh.host_slot_range(m, batch_size=8, process_index=7) == (0, 0)
+    with pytest.raises(ValueError):
+        mh.host_slot_range(m, batch_size=6, process_index=0)
+
+
+def test_serving_mesh_drives_sharded_batcher():
+    """The mesh built by make_serving_mesh must be usable exactly like
+    pmesh.make_mesh for the batched serving tier (same axis names)."""
+    import dataclasses
+    from qwen3_tts_tpu import config as C
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    base = C.tiny_tts_config(max_tokens=6)
+    cfg = dataclasses.replace(base)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    mesh = mh.make_serving_mesh(tp=2, dp=2)
+    with mesh:
+        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                              dtype=jnp.float32, mesh=mesh)
+        ids = np.arange(900, 908, dtype=np.int32)
+        fut = b.submit(ids, 8, seed=4)
+        for _ in range(200):
+            if fut.done():
+                break
+            b.step()
+        codes, audio = fut.result(timeout=1)
+    assert len(audio) == len(codes) * 1920

@@ -125,7 +125,9 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
     groups = cp.predict_codes(cp_params, state.hidden, c0_embed, k_cp,
                               cfg.code_predictor, scfg)          # (B, 15)
 
-    # 3. feedback embedding
+    # 3. feedback embedding (row gathers; a one-hot-matmul variant was
+    # measured SLOWER on v5e — +0.3 ms/token e2e — XLA's gather here is
+    # already fine)
     fb = (c0_embed
           + jnp.sum(cp_params["codec_embs"][jnp.arange(15)[None, :], groups],
                     axis=1)

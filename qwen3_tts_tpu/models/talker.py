@@ -275,6 +275,15 @@ def decode_step(
     if isinstance(kv_cache, tfm.PagedKV):
         h, kv = tfm.paged_decode_step(params["layers"], feedback, pos,
                                       kv_cache, geo, mesh=mesh)
+    elif _fused_step_ok(params, feedback.shape[0], kv_cache, cfg):
+        from qwen3_tts_tpu.ops.pallas.talker_step import (
+            talker_decode_step_fused)
+        S = kv_cache.shape[3]
+        cos, sin = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
+                                    cfg.head_dim, cfg.rope_theta)
+        h, kv = talker_decode_step_fused(params["layers"], feedback, pos,
+                                         kv_cache, cos, sin,
+                                         eps=cfg.rms_norm_eps)
     elif "layers_list" in params:
         h, kv = tfm.decode_step_unrolled(params["layers_list"], feedback,
                                          pos, kv_cache, geo)
@@ -283,3 +292,24 @@ def decode_step(
                                 geo)
     h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, kv
+
+
+def _fused_step_ok(params: Params, B: int, kv_cache, cfg) -> bool:
+    """The single-program decode-step kernel
+    (ops/pallas/talker_step.py) applies to the fused-int8 layout on a
+    single TPU chip, dense KV, B <= 8, MXU-aligned geometry."""
+    import os
+
+    from qwen3_tts_tpu.ops.quant import QTensor
+
+    if os.environ.get("QWEN3_TTS_TALKER_KERNEL", "1") == "0":
+        return False
+    layers = params.get("layers", {})
+    return (B <= 8
+            and jax.device_count() == 1
+            and jax.default_backend() == "tpu"
+            and isinstance(layers.get("qkv_proj"), QTensor)
+            and isinstance(layers.get("gateup_proj"), QTensor)
+            and cfg.head_dim % 128 == 0
+            and cfg.hidden_size % 128 == 0
+            and kv_cache.shape[3] % 8 == 0)

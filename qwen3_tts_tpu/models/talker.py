@@ -297,7 +297,13 @@ def decode_step(
 def _fused_step_ok(params: Params, B: int, kv_cache, cfg) -> bool:
     """The single-program decode-step kernel
     (ops/pallas/talker_step.py) applies to the fused-int8 layout on a
-    single TPU chip, dense KV, B <= 8, MXU-aligned geometry."""
+    single TPU chip, dense KV, batch 1, MXU-aligned geometry.
+
+    B == 1 only: the kernel unrolls its attention per batch row, and the
+    Mosaic compile time grows superlinearly with the unroll (B=8 exceeds
+    10 minutes); B=1 is the single-request CLI/engine hot path the kernel
+    exists for — the batched tier runs bf16 where weight streaming is
+    amortized across rows anyway (docs/BENCHMARKS.md)."""
     import os
 
     from qwen3_tts_tpu.ops.quant import QTensor
@@ -305,7 +311,7 @@ def _fused_step_ok(params: Params, B: int, kv_cache, cfg) -> bool:
     if os.environ.get("QWEN3_TTS_TALKER_KERNEL", "1") == "0":
         return False
     layers = params.get("layers", {})
-    return (B <= 8
+    return (B == 1
             and jax.device_count() == 1
             and jax.default_backend() == "tpu"
             and isinstance(layers.get("qkv_proj"), QTensor)

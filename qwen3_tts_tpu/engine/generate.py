@@ -91,7 +91,7 @@ def init_state(
 
 def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
                tts_pad_embed: jax.Array, cfg: TTSConfig,
-               mesh=None) -> GenState:
+               mesh=None, rope_table=None) -> GenState:
     B = state.hidden.shape[0]
     scfg = cfg.sampling
     # per-element key split: element i's stream depends only on ITS key,
@@ -135,7 +135,8 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
 
     # 4. talker decode step (frozen elements rewrite their slot harmlessly)
     new_hidden, new_kv = tk.decode_step(talker_params, fb, state.pos,
-                                        state.kv, cfg.talker, mesh=mesh)
+                                        state.kv, cfg.talker, mesh=mesh,
+                                        rope_table=rope_table)
 
     # 5. commit results for active elements only
     b_idx = jnp.arange(B)
@@ -185,13 +186,22 @@ def run_steps(
     tts_pad_embed = tk.embed_text(
         talker_params, jnp.array([TTS_PAD_TOKEN_ID]))[0]
     stop_step = state.step + jnp.asarray(max_steps, jnp.int32)
+    # hoisted rope table for the fused-step kernel (computed once per
+    # invocation, closed over by the loop body — NOT rebuilt per token)
+    if isinstance(state.kv, jax.Array):
+        geo = tfm.geometry_of(cfg.talker)
+        rope_table = tfm.rope_cos_sin(
+            jnp.arange(state.kv.shape[3], dtype=jnp.int32),
+            geo.head_dim, geo.rope_theta)
+    else:
+        rope_table = None
 
     def cond(s: GenState):
         return jnp.any(~s.done) & (s.step < stop_step)
 
     def body(s: GenState):
         return _loop_body(s, talker_params, cp_params, tts_pad_embed, cfg,
-                          mesh=mesh)
+                          mesh=mesh, rope_table=rope_table)
 
     return jax.lax.while_loop(cond, body, state)
 

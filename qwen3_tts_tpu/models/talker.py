@@ -266,11 +266,15 @@ def decode_step(
     kv_cache: jax.Array,
     cfg: TalkerConfig,
     mesh=None,
+    rope_table=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One talker decode step on a feedback embedding; returns final-norm
     hidden (B, H) and the updated cache. Mirrors
     llm.get_hidden(feedback, keep_history=1). ``mesh`` routes the paged
-    path's write+attention through shard_map (see tfm.paged_decode_step)."""
+    path's write+attention through shard_map (see tfm.paged_decode_step).
+    ``rope_table``: optional precomputed (cos, sin) (S, Dh) tables for the
+    fused-kernel path — pass from loop callers so the 65k-entry trig
+    table isn't rebuilt every step (run_steps hoists it)."""
     geo = tfm.geometry_of(cfg)
     if isinstance(kv_cache, tfm.PagedKV):
         h, kv = tfm.paged_decode_step(params["layers"], feedback, pos,
@@ -278,11 +282,13 @@ def decode_step(
     elif _fused_step_ok(params, feedback.shape[0], kv_cache, cfg):
         from qwen3_tts_tpu.ops.pallas.talker_step import (
             talker_decode_step_fused)
-        S = kv_cache.shape[3]
-        cos, sin = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
-                                    cfg.head_dim, cfg.rope_theta)
+        if rope_table is None:
+            S = kv_cache.shape[3]
+            rope_table = tfm.rope_cos_sin(jnp.arange(S, dtype=jnp.int32),
+                                          cfg.head_dim, cfg.rope_theta)
         h, kv = talker_decode_step_fused(params["layers"], feedback, pos,
-                                         kv_cache, cos, sin,
+                                         kv_cache, rope_table[0],
+                                         rope_table[1],
                                          eps=cfg.rms_norm_eps)
     elif "layers_list" in params:
         h, kv = tfm.decode_step_unrolled(params["layers_list"], feedback,

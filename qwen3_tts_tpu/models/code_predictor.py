@@ -124,8 +124,12 @@ def predict_codes(
     x2 = _project_in(params, x2)
     positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
     mask = tfm.causal_mask(B, 2, jnp.full((B,), 2, jnp.int32))
-    h, kv = tfm.forward_prefill(params["layers"], x2, positions, mask, geo,
-                                kv_cache=kv)
+    if "layers_list" in params:
+        h, kv = tfm.forward_prefill_unrolled(params["layers_list"], x2,
+                                             positions, mask, geo, kv)
+    else:
+        h, kv = tfm.forward_prefill(params["layers"], x2, positions, mask,
+                                    geo, kv_cache=kv)
     h = tfm.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     h_last = h[:, -1]                                       # (B, H)
 

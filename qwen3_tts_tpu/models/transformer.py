@@ -330,6 +330,42 @@ def forward_prefill(
     return h, None
 
 
+def forward_prefill_unrolled(
+    layers_list,                 # list of per-layer weight dicts
+    x: jax.Array,                # (B, P, H)
+    positions: jax.Array,        # (B, P)
+    attn_mask: jax.Array,        # (B, P, P)
+    geo: TransformerGeometry,
+    kv_cache: jax.Array,         # (L, 2, B, S, Hkv, Dh)
+) -> Tuple[jax.Array, jax.Array]:
+    """forward_prefill over per-layer weight ARRAYS instead of a scanned
+    stack: lax.scan materializes an HBM copy of each layer's weights
+    before the Pallas matmuls read them (the same copy traffic that
+    motivated decode_step_unrolled) — for short prefills (the code
+    predictor's 2-token prefill runs once per talker token) the unrolled
+    form reads each weight exactly once."""
+    cos, sin = rope_cos_sin(positions, geo.head_dim, geo.rope_theta)
+    h = x
+    for li, layer in enumerate(layers_list):
+        hn = rms_norm(h, layer["input_ln"], geo.rms_norm_eps)
+        q, k, v = _qkv(layer, hn, geo, cos, sin)
+        attn = gqa_attention(q, k, v, attn_mask, geo)
+        B_, T_ = attn.shape[0], attn.shape[1]
+        attn = quant.matmul(attn.reshape(B_ * T_, -1),
+                            layer["o_proj"]).reshape(B_, T_, -1).astype(
+                                h.dtype)
+        h = h + attn
+        hn = rms_norm(h, layer["post_ln"], geo.rms_norm_eps)
+        h = h + swiglu_mlp(hn, layer.get("gate_proj"),
+                           layer.get("up_proj"), layer["down_proj"],
+                           gateup_w=layer.get("gateup_proj"))
+        kv_cache = jax.lax.dynamic_update_slice(
+            kv_cache,
+            jnp.stack([k, v]).astype(kv_cache.dtype)[None],
+            (li, 0, 0, 0, 0, 0))
+    return h, kv_cache
+
+
 def causal_mask(batch: int, seq_len: int, lengths: jax.Array) -> jax.Array:
     """(B, P, P) bool: causal AND key-position < length (padding masked)."""
     i = jnp.arange(seq_len)[:, None]

@@ -152,5 +152,12 @@ def quantize_talker(params: dict) -> dict:
 def quantize_code_predictor(params: dict) -> dict:
     out = dict(params)
     out["layers"] = quantize_layer_stack(params["layers"])
+    # per-layer (unstacked) list for the 2-token prefill: same rationale
+    # as the talker's layers_list — a lax.scan over the stacked pytree
+    # copies each layer's weights to HBM every call, and the CP prefill
+    # runs once per talker token (models/code_predictor.predict_codes)
+    L = params["layers"]["input_ln"].shape[0]
+    out["layers_list"] = [
+        {k: v[l] for k, v in out["layers"].items()} for l in range(L)]
     out["lm_heads"] = quantize_int8(params["lm_heads"])
     return out

@@ -117,6 +117,14 @@ def adapt_spec_to_params(spec, params):
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():
+            if k == "layers_list" and "layers" in spec:
+                # per-layer (unstacked) duplicates of the stacked weights
+                # (quantize_talker / quantize_code_predictor): each entry
+                # gets the stacked spec minus its leading layer axis
+                per = {kk: P(*tuple(sp)[1:])
+                       for kk, sp in spec["layers"].items()}
+                out[k] = [adapt_spec_to_params(per, lyr) for lyr in v]
+                continue
             if k not in spec:
                 raise KeyError(
                     f"no sharding spec for param {k!r} (fused int8 layouts "

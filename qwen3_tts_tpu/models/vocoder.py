@@ -378,7 +378,8 @@ def synthesize_chunked_context(
 
     ``decode_fn`` is a jitted fixed-shape decoder taking
     (1, context_tokens + chunk_tokens + 1, 16) int32 and returning
-    (1, (context+chunk+1)*1920) float32 (the padded ``decode``). Each chunk
+    (1, (context+chunk+1)*1920) samples (float32 or device-converted
+    int16 — the assembly is dtype-agnostic). Each chunk
     re-decodes ``context_tokens`` of left context (discarded) and one token
     of lookahead. The one-token lookahead makes the conv stack's
     contribution exact against a full decode (its only lookahead is the
@@ -463,5 +464,8 @@ def synthesize_chunked(
 
 
 def to_int16(audio: np.ndarray) -> np.ndarray:
-    """float [-1,1] -> int16 with the reference's clip (vocoder_server.py:175)."""
+    """float [-1,1] -> int16 with the reference's clip (vocoder_server.py:175).
+    int16 input passes through (engine chunk programs convert on device)."""
+    if audio.dtype == np.int16:
+        return audio
     return np.clip(audio * 32767, -32768, 32767).astype(np.int16)

@@ -433,7 +433,23 @@ class TTSEngine:
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
             with timer.stage("vocoder"):
-                if n > 0:
+                if n == 0:
+                    audio = np.zeros((0,), np.float32)
+                elif n <= 256:
+                    # single-invocation decode, padded to a 64-token
+                    # bucket: one dispatch instead of one per window, and
+                    # MORE exact than chunking (full attention context, no
+                    # chunk boundaries at all). The tail token sees <= 1
+                    # token of zero-code lookahead — the same property the
+                    # chunked path's final window has.
+                    bucket = min(b for b in (64, 128, 192, 256) if b >= n)
+                    buf = np.zeros((1, bucket, 16), np.int32)
+                    buf[0, :n] = codes_np
+                    audio = np.asarray(
+                        self._voc_chunk(vp, jnp.asarray(buf)))[0]
+                    audio = audio[:n * SAMPLES_PER_TOKEN]
+                    first_audio_t = time.perf_counter() - t_start
+                else:
                     # left-context chunking (the real model's chunked-decode
                     # semantics, models/vocoder.synthesize_chunked_context):
                     # conv-exact across chunk boundaries, no crossfade blend
@@ -441,8 +457,6 @@ class TTSEngine:
                         lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
                         codes_np, VOC_CHUNK_SIZE)
                     first_audio_t = time.perf_counter() - t_start
-                else:
-                    audio = np.zeros((0,), np.float32)
         else:
             # streaming: decode in 16-step quanta with ONE chunk always in
             # flight ahead of the status fetch, so the tunnel round-trip

@@ -123,7 +123,7 @@ def main() -> None:
                 f"first_audio={res.first_audio_seconds:.3f}s")
 
     _stream_round("")
-    if max(stream_rtfs) > 0.1:
+    if stream_rtfs and max(stream_rtfs) > 0.1:
         # the tunneled-TPU runtime has transient latency spikes (identical
         # programs measured 0.059 and 0.164 an hour apart); one retry
         # round distinguishes a real regression from rig jitter

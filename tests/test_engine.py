@@ -114,6 +114,26 @@ def test_streaming_eos_inside_first_head_chunk():
     np.testing.assert_array_equal(a.audio_int16, b.audio_int16)
 
 
+def test_bucketed_vocoder_matches_chunked(engine):
+    """The non-streaming single-invocation bucketed vocoder must produce
+    the same audio as the chunked-context path for the same codes (it IS
+    a full decode; chunking only truncates attention context, which at
+    utterance scale <= context+chunk is exact)."""
+    from qwen3_tts_tpu.config import VOC_CHUNK_SIZE
+    from qwen3_tts_tpu.models import vocoder as voc
+    import jax.numpy as jnp
+
+    res = engine.synthesize("bucketed", language="english", seed=9)
+    n = res.n_tokens
+    assert 0 < n <= 256  # took the single-invocation path
+    chunked = voc.synthesize_chunked_context(
+        lambda ch: engine._voc_chunk(engine.params["vocoder"],
+                                     jnp.asarray(ch)),
+        res.codes, VOC_CHUNK_SIZE)
+    np.testing.assert_array_equal(res.audio_int16,
+                                  chunked[:n * SAMPLES_PER_TOKEN])
+
+
 def test_overlong_text_truncates_instead_of_crashing(engine):
     """Text whose padded bucket + prefix overhead exceeds max_seq_len must
     be truncated (with a warning), not crash prefill with a shape error."""

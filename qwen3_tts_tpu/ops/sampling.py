@@ -135,11 +135,10 @@ def repetition_penalty(logits: jax.Array, ring: jax.Array,
     the penalty, non-positive multiplied by it.
     """
     v = logits.shape[-1]
-    # membership: does vocab id i appear in ring? one-hot scatter, fixed shape.
-    member = jnp.zeros((v,), jnp.bool_)
-    valid = ring >= 0
-    safe = jnp.where(valid, ring, 0)
-    member = member.at[safe].max(valid)
+    # membership: does vocab id i appear in ring? Broadcast compare over
+    # (V, W) — vectorized on the VPU; the scatter variant
+    # (.at[ring].max) lowers to W serialized dynamic-updates on TPU.
+    member = jnp.any(jnp.arange(v)[:, None] == ring[None, :], axis=1)
     penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(member, penalised, logits)
 

@@ -334,8 +334,7 @@ class ContinuousBatcher:
         except queue.Empty:
             return None
 
-    def _admit(self) -> int:
-        done = np.asarray(jax.device_get(self._state.done))
+    def _admit(self, done: np.ndarray) -> int:
         admitted = 0
         for slot in self._free_slots(done):
             req = self._next_request()
@@ -392,18 +391,25 @@ class ContinuousBatcher:
         pages = [free.pop() for _ in range(need)]
         table_row = np.zeros((self.max_pages_per_slot,), np.int32)
         table_row[:need] = pages
+        # splice the whole page-aligned prefill window, not just the
+        # p_pad true rows: n_rows is a STATIC arg (it shapes the slice),
+        # so per-length values would compile one insert program per
+        # distinct text length — per s_pre bucket there is exactly one.
+        # The rows beyond the prefix land inside the slot's pages but are
+        # never read before the decode loop overwrites them (attention is
+        # masked to rows <= pos, and the row at pos is written first).
         self._state = self._insert_paged(
             self._state, jnp.int32(slot), sub, jnp.asarray(table_row),
-            jnp.int32(need * psz), n_rows=p_pad)
+            jnp.int32(need * psz), n_rows=s_pre)
         self._slot_pages[slot] = pages
         return True
 
-    def _top_up_pages(self) -> None:
+    def _top_up_pages(self, pos: np.ndarray, done: np.ndarray) -> None:
         """Grow page tables so no active slot hits its capacity inside the
         coming decode chunk (pages allocate between chunks, never inside
-        the jitted loop)."""
-        pos = np.asarray(jax.device_get(self._state.pos))
-        done = np.asarray(jax.device_get(self._state.done))
+        the jitted loop). The grow dispatches are async; the caller hands
+        in the positions it already fetched (each d2h round trip costs
+        tens of ms through the tunnel)."""
         psz = self.page_size
         for slot in range(self.batch_size):
             if self._slot_req[slot] is None or done[slot]:
@@ -422,8 +428,9 @@ class ContinuousBatcher:
                 self._slot_pages[slot].append(page)
 
     def _harvest(self) -> int:
-        done = np.asarray(jax.device_get(self._state.done))
-        n_codes = np.asarray(jax.device_get(self._state.n_codes))
+        # ONE combined round trip for the post-run status
+        done, n_codes = (np.asarray(a) for a in jax.device_get(
+            (self._state.done, self._state.n_codes)))
         finished = 0
         for slot in range(self.batch_size):
             req = self._slot_req[slot]
@@ -454,11 +461,19 @@ class ContinuousBatcher:
 
     def step(self) -> bool:
         """One scheduler iteration. Returns True if any work happened."""
-        admitted = self._admit()
+        # ONE combined round trip for the pre-run status (admission +
+        # paged page top-up share it)
+        done, pos = (np.asarray(a) for a in jax.device_get(
+            (self._state.done, self._state.pos)))
+        admitted = self._admit(done)
         busy = any(r is not None for r in self._slot_req)
         if busy:
             if self.paged:
-                self._top_up_pages()
+                if admitted:
+                    # admissions changed done/pos on device; refresh once
+                    done, pos = (np.asarray(a) for a in jax.device_get(
+                        (self._state.done, self._state.pos)))
+                self._top_up_pages(pos, done)
             self._state = self._run(self.params["talker"],
                                     self.params["code_predictor"],
                                     self._state)

@@ -1,0 +1,344 @@
+"""Golden-value parity: talker + code predictor + dual-stream prefix vs torch.
+
+Independent oracles (VERDICT r2 Missing #1): the vocoder already has golden
+tests against the public torch module; these close the loop for the other
+two transformer stages, which were previously validated only against a
+NumPy oracle written from the same SURVEY reading.
+
+- The talker is standard Qwen3ForCausalLM geometry
+  (/root/reference/scripts/extract_talker_as_qwen3.py:89-110), so
+  ``transformers``' Qwen3Model is the independent oracle for the
+  embedding-mode forward (prefill hidden, decode-step hidden, final norm).
+- The code predictor's contract is CodePredictorCore
+  (/root/reference/scripts/export_code_predictor_onnx.py:30-46):
+  small_to_mtp_projection -> rotary -> layers -> norm; the oracle is the
+  same torch Qwen3Model with the projection applied to every input embed.
+- The dual-stream prefix oracle is a literal torch/numpy transcription of
+  ``llamacpp_talker_server.py:121-161`` operating directly on HF-layout
+  (out, in) tensors — independent of our (in, out) storage convention.
+
+Both sides load from ONE synthetic HF-style state dict through the real
+loader (io/weights.py), so loader key/transpose bugs are also caught.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from qwen3_tts_tpu import config as C
+from qwen3_tts_tpu.config import SamplingConfig, tiny_tts_config
+from qwen3_tts_tpu.io import weights as weights_io
+from qwen3_tts_tpu.models import code_predictor as cp
+from qwen3_tts_tpu.models import talker as tk
+from qwen3_tts_tpu.models import transformer as tfm
+
+CFG = tiny_tts_config()
+TK = CFG.talker
+CP = CFG.code_predictor
+
+RTOL, ATOL = 2e-4, 2e-5
+
+
+def _tiny_qwen3(num_layers, seed):
+    """A torch Qwen3Model at the tiny test geometry, weights perturbed so
+    norm gains != 1 and parity failures can't hide behind identities."""
+    from transformers.models.qwen3 import Qwen3Config, Qwen3Model
+
+    tc = Qwen3Config(
+        vocab_size=64,  # unused: we always feed inputs_embeds
+        hidden_size=TK.hidden_size,
+        intermediate_size=TK.intermediate_size,
+        num_hidden_layers=num_layers,
+        num_attention_heads=TK.num_heads,
+        num_key_value_heads=TK.num_kv_heads,
+        head_dim=TK.head_dim,
+        rms_norm_eps=TK.rms_norm_eps,
+        rope_theta=TK.rope_theta,
+        max_position_embeddings=512,
+        attn_implementation="eager",
+        use_cache=True,
+    )
+    torch.manual_seed(seed)
+    m = Qwen3Model(tc)
+    gen = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.add_(0.05 * torch.randn(p.shape, generator=gen))
+    return m.eval()
+
+
+def _rand(rng, *shape):
+    return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """(torch talker, torch cp core, hf_weights dict, jax talker params,
+    jax cp params) — all derived from one synthetic HF checkpoint dict."""
+    talker_m = _tiny_qwen3(TK.num_layers, seed=0)
+    cp_m = _tiny_qwen3(CP.num_layers, seed=100)
+    torch.manual_seed(7)
+    mtp = torch.nn.Linear(CP.hidden_size, CP.hidden_size).eval()
+
+    rng = np.random.default_rng(0)
+    hf = {}
+    for k, v in talker_m.state_dict().items():
+        hf[f"talker.model.{k}"] = v.numpy()
+    for k, v in cp_m.state_dict().items():
+        hf[f"talker.code_predictor.model.{k}"] = v.numpy()
+    hf["talker.code_predictor.small_to_mtp_projection.weight"] = (
+        mtp.weight.detach().numpy())
+    hf["talker.code_predictor.small_to_mtp_projection.bias"] = (
+        mtp.bias.detach().numpy())
+    # Embedding surface (extract_embeddings.py:47-70), HF (out, in) layout.
+    hf["talker.model.text_embedding.weight"] = _rand(
+        rng, TK.text_vocab_size, TK.text_embed_dim)
+    hf["talker.text_projection.linear_fc1.weight"] = _rand(
+        rng, TK.text_embed_dim, TK.text_embed_dim)
+    hf["talker.text_projection.linear_fc1.bias"] = _rand(rng, TK.text_embed_dim)
+    hf["talker.text_projection.linear_fc2.weight"] = _rand(
+        rng, TK.hidden_size, TK.text_embed_dim)
+    hf["talker.text_projection.linear_fc2.bias"] = _rand(rng, TK.hidden_size)
+    hf["talker.model.codec_embedding.weight"] = _rand(
+        rng, TK.codec_vocab_size, TK.hidden_size)
+    hf["talker.codec_head.weight"] = _rand(
+        rng, TK.codec_vocab_size, TK.hidden_size)
+    for g in range(CP.num_groups):
+        hf[f"talker.code_predictor.model.codec_embedding.{g}.weight"] = _rand(
+            rng, CP.group_vocab_size, CP.hidden_size)
+        hf[f"talker.code_predictor.lm_head.{g}.weight"] = _rand(
+            rng, CP.group_vocab_size, CP.hidden_size)
+
+    tkp = weights_io.load_talker_from_hf(hf, TK, dtype=jnp.float32)
+    cpp = weights_io.load_code_predictor_from_hf(hf, CP, dtype=jnp.float32)
+    return talker_m, cp_m, mtp, hf, tkp, cpp
+
+
+# ---------------------------------------------------------------------------
+# Talker transformer (embedding mode): Qwen3Model as oracle
+# ---------------------------------------------------------------------------
+
+def test_prefill_hidden_matches_torch(golden):
+    """Full-sequence forward + final RMSNorm == torch last_hidden_state
+    (the quantity llama_wrapper.c:152-159 extracts)."""
+    talker_m, _, _, _, tkp, _ = golden
+    rng = np.random.default_rng(1)
+    B, P = 2, 9
+    x = (rng.standard_normal((B, P, TK.hidden_size)) * 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        want = talker_m(inputs_embeds=torch.from_numpy(x)).last_hidden_state
+    want = want.numpy()
+
+    geo = tfm.geometry_of(TK)
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    mask = tfm.causal_mask(B, P, jnp.full((B,), P, jnp.int32))
+    h, _ = tfm.forward_prefill(tkp["layers"], jnp.asarray(x), positions, mask,
+                               geo, kv_cache=None)
+    got = np.asarray(tfm.rms_norm(h, tkp["final_norm"], TK.rms_norm_eps))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_decode_step_matches_torch(golden):
+    """KV-cached single-token decode == torch full-sequence last row
+    (mirrors llm.get_hidden(feedback, keep_history=1))."""
+    talker_m, _, _, _, tkp, _ = golden
+    rng = np.random.default_rng(2)
+    P = 6
+    x = (rng.standard_normal((1, P + 3, TK.hidden_size)) * 0.3).astype(
+        np.float32)
+
+    geo = tfm.geometry_of(TK)
+    kv = tfm.init_kv_cache(geo, 1, TK.max_seq_len)
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (1, P))
+    mask = tfm.causal_mask(1, P, jnp.full((1,), P, jnp.int32))
+    _, kv = tfm.forward_prefill(tkp["layers"], jnp.asarray(x[:, :P]),
+                                positions, mask, geo, kv_cache=kv)
+    # three successive decode steps, comparing each to torch's full forward
+    for t in range(3):
+        pos = jnp.full((1,), P + t, jnp.int32)
+        got, kv = tk.decode_step(tkp, jnp.asarray(x[:, P + t]), pos, kv, TK)
+        with torch.no_grad():
+            want = talker_m(
+                inputs_embeds=torch.from_numpy(x[:, :P + t + 1])
+            ).last_hidden_state[:, -1]
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=RTOL, atol=ATOL)
+
+
+def test_codec_logits_match_torch(golden):
+    _, _, _, hf, tkp, _ = golden
+    rng = np.random.default_rng(3)
+    h = (rng.standard_normal((2, TK.hidden_size)) * 0.3).astype(np.float32)
+    want = h @ hf["talker.codec_head.weight"].T
+    got = np.asarray(tk.codec_logits(tkp, jnp.asarray(h)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Dual-stream prefix: literal transcription of llamacpp_talker_server.py:121-161
+# operating on raw HF tensors
+# ---------------------------------------------------------------------------
+
+def _hf_embed_text(hf, ids):
+    """llamacpp_talker_server.py:115-119 on HF (out, in) tensors."""
+    e = hf["talker.model.text_embedding.weight"][ids]
+    h = e @ hf["talker.text_projection.linear_fc1.weight"].T \
+        + hf["talker.text_projection.linear_fc1.bias"]
+    h = h / (1.0 + np.exp(-h))  # SiLU
+    return (h @ hf["talker.text_projection.linear_fc2.weight"].T
+            + hf["talker.text_projection.linear_fc2.bias"]).astype(np.float32)
+
+
+def _hf_build_prefix(hf, text_token_ids):
+    """llamacpp_talker_server.py:121-161, verbatim layout."""
+    ce = hf["talker.model.codec_embedding.weight"]
+    special = _hf_embed_text(hf, np.array(
+        [C.TTS_PAD_TOKEN_ID, C.TTS_BOS_TOKEN_ID, C.TTS_EOS_TOKEN_ID]))
+    tts_pad_embed, tts_bos_embed, tts_eos_embed = special
+
+    role_embeds = _hf_embed_text(hf, np.array(
+        [C.IM_START_TOKEN_ID, 77091, 198]))
+    codec_prefix = ce[[C.CODEC_NOTHINK_ID, C.CODEC_THINK_BOS_ID,
+                       C.CODEC_THINK_EOS_ID]]
+    dual_codec = np.stack([tts_pad_embed] * 3) + codec_prefix
+    transition = (tts_bos_embed + ce[C.CODEC_PAD_ID])[np.newaxis]
+    text_embeds = _hf_embed_text(hf, np.asarray(text_token_ids))
+    text_plus_eos = np.concatenate(
+        [text_embeds, tts_eos_embed[np.newaxis]], axis=0)
+    codec_pad_tile = np.tile(ce[C.CODEC_PAD_ID],
+                             (len(text_token_ids) + 1, 1))
+    dual_text = text_plus_eos + codec_pad_tile
+    final = (tts_pad_embed + ce[C.CODEC_BOS_ID])[np.newaxis]
+    return np.concatenate(
+        [role_embeds, dual_codec, transition, dual_text, final],
+        axis=0).astype(np.float32)
+
+
+def test_prefix_matches_hf_transcription(golden):
+    _, _, _, hf, tkp, _ = golden
+    text_ids = [17, 151000, 3, 888, 151643, 2]
+    want = _hf_build_prefix(hf, text_ids)
+
+    n_pad = 10
+    padded = np.zeros(n_pad, np.int32)
+    padded[:len(text_ids)] = text_ids
+    prefix, plen = tk.build_prefix(tkp, jnp.asarray(padded),
+                                   jnp.int32(len(text_ids)))
+    assert int(plen) == want.shape[0] == len(text_ids) + tk.PREFIX_EXTRA
+    np.testing.assert_allclose(np.asarray(prefix)[:int(plen)], want,
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_prefix_prefill_end_to_end_matches_torch(golden):
+    """build_prefix -> padded prefill == torch Qwen3 forward over the exact
+    (unpadded) prefix rows: validates padding/masking + last-position gather."""
+    talker_m, _, _, hf, tkp, _ = golden
+    text_ids = [5, 42, 9000]
+    want_prefix = _hf_build_prefix(hf, text_ids)
+    with torch.no_grad():
+        want = talker_m(
+            inputs_embeds=torch.from_numpy(want_prefix[None])
+        ).last_hidden_state[:, -1]
+
+    n_pad = 8
+    padded = np.zeros(n_pad, np.int32)
+    padded[:len(text_ids)] = text_ids
+    prefix, plen = tk.build_prefix(tkp, jnp.asarray(padded),
+                                   jnp.int32(len(text_ids)))
+    geo = tfm.geometry_of(TK)
+    kv = tfm.init_kv_cache(geo, 1, TK.max_seq_len)
+    got, _ = tk.prefill(tkp, prefix[None], plen[None], kv, TK)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Code predictor: CodePredictorCore (export_code_predictor_onnx.py:30-46)
+# as a torch oracle — 2-token prefill + 14 KV-cached greedy steps
+# ---------------------------------------------------------------------------
+
+def _torch_cp_core(cp_m, mtp, embeds, past):
+    """mtp projection -> layers -> norm with KV cache: CodePredictorCore
+    semantics, realised through Qwen3Model so mask/rotary handling is the
+    library's, not ours."""
+    with torch.no_grad():
+        out = cp_m(inputs_embeds=mtp(embeds), past_key_values=past,
+                   use_cache=True)
+    return out.last_hidden_state, out.past_key_values
+
+
+def test_cp_greedy_codes_and_logits_match_torch(golden):
+    """Greedy 15-group recursion: exact code agreement across all groups,
+    plus numerical parity of the group-1 logits (the sampled surface)."""
+    _, cp_m, mtp, hf, _, cpp = golden
+    from transformers import DynamicCache
+
+    rng = np.random.default_rng(5)
+    hidden = (rng.standard_normal((1, CP.hidden_size)) * 0.3).astype(
+        np.float32)
+    code0_embed = (rng.standard_normal((1, CP.hidden_size)) * 0.3).astype(
+        np.float32)
+
+    # --- torch oracle: the reference's sequential algorithm
+    # (code_predictor_server.py:94-140) run greedily ---
+    heads = [hf[f"talker.code_predictor.lm_head.{g}.weight"]
+             for g in range(CP.num_groups)]
+    embs = [hf[f"talker.code_predictor.model.codec_embedding.{g}.weight"]
+            for g in range(CP.num_groups)]
+    past = DynamicCache()
+    x2 = torch.from_numpy(np.stack([hidden[0], code0_embed[0]])[None])
+    h, past = _torch_cp_core(cp_m, mtp, x2, past)
+    h_last = h[0, -1].numpy()
+    want_logits0 = h_last @ heads[0].T
+    tok = int(np.argmax(want_logits0))
+    want_codes = [tok]
+    for step in range(1, CP.num_groups):
+        e = torch.from_numpy(embs[step - 1][tok][None, None])
+        h, past = _torch_cp_core(cp_m, mtp, e, past)
+        tok = int(np.argmax(h[0, -1].numpy() @ heads[step].T))
+        want_codes.append(tok)
+
+    # --- JAX side: predict_codes at temperature ~0 is greedy ---
+    scfg = SamplingConfig(cp_temperature=0.0)
+    got = np.asarray(cp.predict_codes(
+        cpp, jnp.asarray(hidden), jnp.asarray(code0_embed),
+        jax.random.PRNGKey(0), CP, scfg))[0]
+    assert got.tolist() == want_codes
+
+    # logits parity for the group-1 surface (prefill hidden @ lm_head_0)
+    geo = tfm.geometry_of(CP)
+    kv = tfm.init_kv_cache(geo, 1, CP.max_seq_len)
+    x2j = jnp.asarray(np.stack([hidden[0], code0_embed[0]])[None])
+    x2j = x2j @ cpp["mtp_proj_w"] + cpp["mtp_proj_b"]
+    positions = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (1, 2))
+    mask = tfm.causal_mask(1, 2, jnp.full((1,), 2, jnp.int32))
+    hj, _ = tfm.forward_prefill(cpp["layers"], x2j, positions, mask, geo, kv)
+    hj = tfm.rms_norm(hj, cpp["final_norm"], CP.rms_norm_eps)[:, -1]
+    got_logits0 = np.asarray(hj @ cpp["lm_heads"][0])[0]
+    np.testing.assert_allclose(got_logits0, want_logits0, rtol=RTOL,
+                               atol=ATOL)
+
+
+def test_cp_batched_greedy_matches_solo(golden):
+    """Batch invariance of the greedy CP path against the torch-verified
+    solo result (lockstep serving relies on this)."""
+    _, _, _, _, _, cpp = golden
+    rng = np.random.default_rng(6)
+    B = 3
+    hidden = (rng.standard_normal((B, CP.hidden_size)) * 0.3).astype(
+        np.float32)
+    c0e = (rng.standard_normal((B, CP.hidden_size)) * 0.3).astype(np.float32)
+    scfg = SamplingConfig(cp_temperature=0.0)
+    batched = np.asarray(cp.predict_codes(
+        cpp, jnp.asarray(hidden), jnp.asarray(c0e),
+        jax.random.PRNGKey(1), CP, scfg))
+    for i in range(B):
+        solo = np.asarray(cp.predict_codes(
+            cpp, jnp.asarray(hidden[i:i + 1]), jnp.asarray(c0e[i:i + 1]),
+            jax.random.PRNGKey(1), CP, scfg))[0]
+        assert batched[i].tolist() == solo.tolist()

@@ -29,7 +29,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def main() -> int:
     import jax
 
     # persistent compile cache: the fused decode program is large and the
@@ -145,13 +145,21 @@ def main() -> None:
         f"{'OK' if med_stream <= 0.1 else 'FAIL'} "
         f"(target <= 0.1; worst trial {worst_stream:.4f})")
 
+    # med_stream rides in the JSON and a guard failure exits non-zero, so
+    # automation consuming bench.py sees streaming regressions instead of
+    # only a stderr FAIL line (round-2 advisor finding)
     print(json.dumps({
         "metric": "rtf_e2e",
         "value": round(rtf, 4),
         "unit": "x_realtime",
         "vs_baseline": round(2.0 / rtf, 1) if rtf > 0 else None,
+        "stream_rtf_median": (round(med_stream, 4)
+                              if med_stream != float("inf") else None),
+        "first_audio_p50_s": (round(float(np.median(first_audio)), 4)
+                              if first_audio else None),
     }))
+    return 0 if med_stream <= 0.1 else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -53,6 +53,7 @@ class GenState(NamedTuple):
     n_text: jax.Array    # (B,) text-token counts (for EOS boost)
     step: jax.Array      # scalar: loop iterations done
     key: jax.Array       # (B, 2) uint32 PER-ELEMENT PRNG keys
+    budget: jax.Array    # (B,) per-slot token budget (<= cfg.max_tokens)
 
 
 batch_keys = smp.batch_keys  # re-export (see ops/sampling.batch_keys)
@@ -66,8 +67,15 @@ def init_state(
     key: jax.Array,          # (2,) broadcast or (B, 2) per-element
     cfg: TTSConfig,
     kv_dtype=None,
+    budget=None,             # scalar or (B,) per-slot token budget
 ) -> GenState:
-    """Prefill the talker and build the initial loop state."""
+    """Prefill the talker and build the initial loop state.
+
+    ``budget``: per-slot generation cap (the reference's per-request
+    max_tokens, launch_qwen3_tts.sh:32). A runtime value — the loop stops
+    the slot at min(budget, cfg.max_tokens) tokens, so a capped request
+    in a lockstep batch frees its slot instead of decoding to the shared
+    budget and trimming host-side. Defaults to cfg.max_tokens."""
     B = prefix.shape[0]
     tcfg = cfg.talker
     geo = tfm.geometry_of(tcfg)
@@ -86,6 +94,10 @@ def init_state(
         n_text=n_text.astype(jnp.int32),
         step=jnp.int32(0),
         key=batch_keys(key, B),
+        budget=(jnp.full((B,), cfg.max_tokens, jnp.int32) if budget is None
+                else jnp.minimum(
+                    jnp.broadcast_to(jnp.asarray(budget, jnp.int32), (B,)),
+                    cfg.max_tokens)),
     )
 
 
@@ -109,14 +121,14 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
     is_eos = (code0 == CODEC_EOS_ID) | (code0 >= NUM_AUDIO_CODES)
     # per-slot row bound: dense S, or the slot's allocated pages (paged)
     S = tfm.kv_capacity(state.kv)
-    has_room = (state.n_codes < cfg.max_tokens) & (state.pos < S - 1)
+    has_room = (state.n_codes < state.budget) & (state.pos < S - 1)
     active = ~state.done & ~is_eos & has_room  # producing a token now
     new_n_codes = state.n_codes + active.astype(jnp.int32)
-    # a slot finishes on EOS, on hitting its token budget, or on filling
-    # its KV allocation (per-slot bounds — global step is never consulted,
-    # so slots can be recycled indefinitely in the serving tier)
+    # a slot finishes on EOS, on hitting its PER-SLOT token budget, or on
+    # filling its KV allocation (per-slot bounds — global step is never
+    # consulted, so slots can be recycled indefinitely in the serving tier)
     new_done = (state.done | is_eos
-                | (new_n_codes >= cfg.max_tokens)
+                | (new_n_codes >= state.budget)
                 | (state.pos + active.astype(jnp.int32) >= S - 1))
 
     # 2. code predictor: groups 1..15 (always computed; masked commit)
@@ -160,6 +172,7 @@ def _loop_body(state: GenState, talker_params: Params, cp_params: Params,
         n_text=state.n_text,
         step=state.step + 1,
         key=key,
+        budget=state.budget,
     )
 
 

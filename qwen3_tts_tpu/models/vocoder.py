@@ -368,6 +368,41 @@ def init_vocoder_params(key: jax.Array, cfg: VocoderConfig) -> Params:
 # Chunked synthesis
 # ---------------------------------------------------------------------------
 
+# fixed-shape vocoder window buckets shared by the engine and the batcher
+# (each distinct width is one compiled program)
+VOC_BUCKETS = (64, 128, 192, 256, 320)
+
+
+def voc_bucket(w: int) -> int:
+    """Smallest vocoder-window bucket >= w (64-aligned beyond the table)."""
+    for b in VOC_BUCKETS:
+        if w <= b:
+            return b
+    return -(-w // 64) * 64
+
+
+def synthesize_exact(decode_fn, codes: np.ndarray,
+                     max_single: int = 256) -> np.ndarray:
+    """The high-quality decode used by every serving tier: utterances up
+    to ``max_single`` tokens decode in ONE bucketed invocation (full
+    attention context, no chunk boundaries; the bucket is strictly larger
+    than the token count so the tail token always has >= 1 zero-code
+    lookahead token — same property as the chunked path's final window);
+    longer utterances fall back to conv-exact left-context chunking.
+
+    ``decode_fn`` takes (1, W, 16) int32 for any bucketed W and returns
+    (1, W*1920) samples (float32 or device-converted int16)."""
+    n = len(codes)
+    if n == 0:
+        return np.zeros((0,), np.float32)
+    if n <= max_single:
+        W = voc_bucket(n + 1)
+        buf = np.zeros((1, W, 16), np.int32)
+        buf[0, :n] = codes[:, :16]
+        return np.asarray(decode_fn(buf))[0][:n * SAMPLES_PER_TOKEN]
+    return synthesize_chunked_context(decode_fn, codes, VOC_CHUNK_SIZE)
+
+
 def synthesize_chunked_context(
     decode_fn,
     codes: np.ndarray,          # (T, 16) host array

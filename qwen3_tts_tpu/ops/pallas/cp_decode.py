@@ -79,6 +79,67 @@ def _qmm(x, q, s):
     return acc * s.astype(jnp.float32).reshape(1, -1)
 
 
+def sample_tokens(logits, seed_col, step, *, top_k, temperature, greedy):
+    """The kernel's sampling math as a standalone pure-jnp function —
+    top-k threshold via (k-1) max-extractions, counter-based hash PRNG
+    (murmur3-finalizer style), Gumbel-max over the masked scaled logits
+    (exactly a categorical draw over the top-k softmax;
+    code_predictor_server.py:87-92 semantics).
+
+    The kernel body calls THIS function, so the χ²-distribution tests in
+    tests/test_cp_kernel.py exercise the very code the TPU compiles
+    (biased bits or a wrong temperature scale would fail there).
+
+    logits: (N, V) f32; seed_col: (N, 1) int32 per-row seeds; step:
+    scalar int (the grid index — decorrelates successive AR steps).
+    Returns (N, 1) int32.
+    """
+    N, V = logits.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
+
+    # --- per-row top-k threshold: remove the (k-1) largest ---
+    def rm_one(_, work):
+        m = jnp.max(work, axis=-1, keepdims=True)
+        first = jnp.min(jnp.where(work == m, iota, V), axis=-1,
+                        keepdims=True)
+        return jnp.where(iota == first, NEG, work)
+
+    rest = jax.lax.fori_loop(0, top_k - 1, rm_one, logits)
+    thr = jnp.max(rest, axis=-1, keepdims=True)
+    keep = logits >= thr
+    masked = jnp.where(keep, logits, NEG)
+
+    if greedy:
+        z = masked
+    else:
+        # Counter-based hash PRNG in plain vector ops, distinct per
+        # (row seed, step, lane). Row identity comes from the PER-ROW
+        # seed — not the row index — so a request's draws are invariant
+        # to its slot position and batch size (the engine/batcher parity
+        # contract).
+        bits = (seed_col.astype(jnp.uint32) * jnp.uint32(2654435761)
+                + jnp.uint32(step).astype(jnp.uint32) * jnp.uint32(40503)
+                + iota.astype(jnp.uint32) * jnp.uint32(2246822519))
+        bits = bits ^ (bits >> 16)
+        bits = bits * jnp.uint32(2246822519)
+        bits = bits ^ (bits >> 13)
+        bits = bits * jnp.uint32(3266489917)
+        bits = bits ^ (bits >> 16)
+        # u in (0, 1): 23 high bits as mantissa-grade uniform, nudged
+        # off both endpoints so -log(-log(u)) stays finite; the int32
+        # detour is lossless (Mosaic has no uint32->f32 cast)
+        u = (bits >> 9).astype(jnp.int32).astype(jnp.float32) \
+            * (1.0 / (1 << 23))
+        u = u * (1.0 - 1e-6) + 1e-7
+        gumbel = -jnp.log(-jnp.log(u))
+        z = jnp.where(keep, masked * (1.0 / max(temperature, 1e-6))
+                      + gumbel, NEG)
+
+    zm = jnp.max(z, axis=-1, keepdims=True)
+    return jnp.min(jnp.where(z == zm, iota, V), axis=-1,
+                   keepdims=True).astype(jnp.int32)
+
+
 def _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature, greedy):
     G = nH // nKV
 
@@ -183,50 +244,11 @@ def _make_kernel(B, L, nH, nKV, S, V, eps, top_k, temperature, greedy):
         hn = _rms(x, final_norm[...], eps).astype(jnp.bfloat16)
         logits = _qmm(hn, head_q[0], head_s[0])        # (BP, V) f32
 
-        # --- per-row top-k threshold: remove the (k-1) largest ---
-        iota = jax.lax.broadcasted_iota(jnp.int32, (BP, V), 1)
-
-        def rm_one(_, work):
-            m = jnp.max(work, axis=-1, keepdims=True)
-            first = jnp.min(jnp.where(work == m, iota, V), axis=-1,
-                            keepdims=True)
-            return jnp.where(iota == first, NEG, work)
-
-        rest = jax.lax.fori_loop(0, top_k - 1, rm_one, logits)
-        thr = jnp.max(rest, axis=-1, keepdims=True)
-        keep = logits >= thr
-        masked = jnp.where(keep, logits, NEG)
-
-        if greedy:
-            z = masked
-        else:
-            # Counter-based hash PRNG (murmur3-finalizer style) in plain
-            # vector ops, distinct per (row seed, step, lane). Row identity
-            # comes from the PER-ROW seed — not the row index — so a
-            # request's draws are invariant to its slot position and batch
-            # size (the engine/batcher parity contract).
-            seed_col = seeds_pad[:, 0:1]                 # (BP, 1) i32
-            bits = (seed_col.astype(jnp.uint32) * jnp.uint32(2654435761)
-                    + jnp.uint32(i).astype(jnp.uint32) * jnp.uint32(40503)
-                    + iota.astype(jnp.uint32) * jnp.uint32(2246822519))
-            bits = bits ^ (bits >> 16)
-            bits = bits * jnp.uint32(2246822519)
-            bits = bits ^ (bits >> 13)
-            bits = bits * jnp.uint32(3266489917)
-            bits = bits ^ (bits >> 16)
-            # u in (0, 1): 23 high bits as mantissa-grade uniform, nudged
-            # off both endpoints so -log(-log(u)) stays finite; the int32
-            # detour is lossless (Mosaic has no uint32->f32 cast)
-            u = (bits >> 9).astype(jnp.int32).astype(jnp.float32) \
-                * (1.0 / (1 << 23))
-            u = u * (1.0 - 1e-6) + 1e-7
-            gumbel = -jnp.log(-jnp.log(u))
-            z = jnp.where(keep, masked * (1.0 / max(temperature, 1e-6))
-                          + gumbel, NEG)
-
-        zm = jnp.max(z, axis=-1, keepdims=True)
-        new_tok = jnp.min(jnp.where(z == zm, iota, V), axis=-1,
-                          keepdims=True).astype(jnp.int32)   # (BP, 1)
+        # top-k threshold + hash-PRNG Gumbel-max (see sample_tokens —
+        # shared with the distribution tests)
+        new_tok = sample_tokens(logits, seeds_pad[:, 0:1], i,
+                                top_k=top_k, temperature=temperature,
+                                greedy=greedy)         # (BP, 1)
         tiled = jnp.broadcast_to(new_tok, (BP, 128))
         tok_scr[...] = tiled
         out_tok[0, :, :] = tiled

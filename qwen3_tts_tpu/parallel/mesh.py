@@ -187,6 +187,7 @@ def gen_state_spec(cfg: TTSConfig, paged: bool = False):
         n_text=P(DP),
         step=P(),
         key=P(DP, None),   # per-element keys ride with their batch shard
+        budget=P(DP),
     )
 
 

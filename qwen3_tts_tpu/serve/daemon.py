@@ -41,7 +41,6 @@ from typing import Optional
 
 import numpy as np
 
-from qwen3_tts_tpu.config import SAMPLES_PER_TOKEN
 from qwen3_tts_tpu.engine.engine import TTSEngine
 
 DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
@@ -170,14 +169,12 @@ class TTSDaemon:
                 None)
         t0 = _time.perf_counter()
         ids, n_text = self.engine._encode_text(text)
+        # max_tokens rides into the slot's per-request budget: the slot
+        # stops decoding (and frees) at the cap — no decode-then-trim
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
-                                  seed=int(msg.get("seed", 0)))
+                                  seed=int(msg.get("seed", 0)),
+                                  max_tokens=mt)
         codes, audio = fut.result(timeout=600)
-        if mt is not None and len(codes) > mt:
-            # the lockstep batch decodes to the shared budget; honor the
-            # per-request cap by trimming the result
-            codes = codes[:mt]
-            audio = audio[:mt * SAMPLES_PER_TOKEN]
         audio_i16 = _voc.to_int16(audio)
         total = _time.perf_counter() - t0
         dur = len(audio_i16) / 24000.0

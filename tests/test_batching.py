@@ -108,6 +108,32 @@ def test_batched_slot_matches_solo_synthesis(batcher):
     np.testing.assert_array_equal(codes2, codes)
 
 
+def test_per_request_max_tokens_frees_slot(batcher):
+    """A capped request stops decoding AT its budget (round-2 VERDICT Weak
+    #6): the slot is done after ~cap tokens instead of decoding to the
+    shared budget and trimming host-side, and the capped codes are the
+    prefix of the uncapped same-seed stream (lockstep prefix stability)."""
+    ids, n = _ids("capped")
+    f_full = batcher.submit(ids, n, seed=5)
+    for _ in range(400):
+        if f_full.done():
+            break
+        batcher.step()
+    codes_full, _ = f_full.result(timeout=1)
+    assert len(codes_full) > 2  # the cap below is binding
+
+    f_cap = batcher.submit(ids, n, seed=5, max_tokens=2)
+    # the capped slot must finish within ONE decode chunk (chunk=4 >= cap):
+    # admit + run, then harvest on the next step
+    batcher.step()
+    batcher.step()
+    assert f_cap.done(), "capped slot still occupied after its budget"
+    codes_cap, audio_cap = f_cap.result(timeout=1)
+    assert len(codes_cap) == 2
+    assert len(audio_cap) == 2 * 1920
+    np.testing.assert_array_equal(codes_cap, codes_full[:2])
+
+
 def test_background_thread(batcher):
     batcher.start()
     try:

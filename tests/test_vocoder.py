@@ -134,7 +134,6 @@ def test_chunked_context_lengths():
     """Left-context chunker emits exactly T*1920 samples for any T."""
     params = voc.init_vocoder_params(jax.random.PRNGKey(0), CFG)
     for T, chunk, ctx in ((3, 8, 4), (17, 8, 4), (16, 8, 25)):
-        W = min(ctx, 0) + chunk + 1  # fixed buffer is ctx+chunk+1 wide
         fn = jax.jit(lambda c: voc.decode(params, c, CFG))
         codes = np.random.default_rng(T).integers(
             0, 2048, (T, 16)).astype(np.int32)

@@ -81,6 +81,23 @@ def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return read_safetensors(path)
 
 
+def list_safetensors_keys(path: str) -> Dict[str, tuple]:
+    """Read ONLY the safetensors JSON header: tensor name -> (dtype str,
+    shape tuple). No weight bytes are touched, so probing a multi-GB
+    checkpoint's key schema is instant (tools/convert_weights.py
+    --list_keys; round-2 VERDICT item 8 — first contact with a real
+    ``speech_tokenizer`` checkpoint should be a key diff, not a debugging
+    session)."""
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        hdr = json.loads(f.read(n).decode("utf-8"))
+    hdr.pop("__metadata__", None)
+    return {k: (v["dtype"], tuple(v["shape"])) for k, v in hdr.items()}
+
+
 def _stack_layers(get: Callable[[str], np.ndarray], prefix: str,
                   num_layers: int, dtype) -> Params:
     """Build the stacked layer pytree from per-layer HF tensors."""

@@ -46,6 +46,14 @@ class _Request:
         self.seed = seed
         self.max_tokens = max_tokens
         self.future: Future = Future()
+        # latency instrumentation (tools/dev/bench_serving.py): queue wait
+        # = t_admit - t_submit; admission -> first token = t_first -
+        # t_admit (observed at chunk granularity); admission -> audio =
+        # t_done - t_admit
+        self.t_submit = time.perf_counter()
+        self.t_admit: Optional[float] = None
+        self.t_first: Optional[float] = None
+        self.t_done: Optional[float] = None
 
 
 def _empty_state(cfg: TTSConfig, batch: int, dtype,
@@ -308,6 +316,7 @@ class ContinuousBatcher:
         cap — the slot stops (and frees) at that many tokens."""
         req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
                        seed, max_tokens)
+        req.future.request = req  # expose timing to callers (bench/metrics)
         self._queue.put(req)
         return req.future
 
@@ -373,6 +382,7 @@ class ContinuousBatcher:
                                         jnp.int32(self._req_budget(req)))
                 self._state = self._insert(self._state, jnp.int32(slot), sub)
             self._slot_req[slot] = req
+            req.t_admit = time.perf_counter()
             done[slot] = False
             pos[slot] = int(req.n_text) + PREFIX_EXTRA
             admitted += 1
@@ -471,6 +481,11 @@ class ContinuousBatcher:
         # ONE combined round trip for the post-run status
         done, n_codes = (np.asarray(a) for a in jax.device_get(
             (self._state.done, self._state.n_codes)))
+        now = time.perf_counter()
+        for s in range(self.batch_size):
+            r = self._slot_req[s]
+            if r is not None and r.t_first is None and n_codes[s] > 0:
+                r.t_first = now   # first token observed (chunk granularity)
         finished_slots = [s for s in range(self.batch_size)
                           if self._slot_req[s] is not None and done[s]]
         if not finished_slots:
@@ -492,8 +507,10 @@ class ContinuousBatcher:
                     lambda ch: self._voc(self.params["vocoder"],
                                          jnp.asarray(ch)),
                     codes)
+                req.t_done = time.perf_counter()
                 req.future.set_result((codes, audio))
             except Exception as e:
+                req.t_done = time.perf_counter()
                 req.future.set_exception(e)
             self._slot_req[slot] = None
             if self.paged:

@@ -240,3 +240,59 @@ def test_engine_synthesizes_from_hf_checkpoint(ckpt_dir, tmp_path):
     assert res.n_tokens >= 1
     assert len(res.audio_int16) == res.n_tokens * 1920
     assert np.isfinite(res.audio_int16).all()
+
+
+def test_list_keys_and_schema_check(tmp_path):
+    """tools/convert_weights.py --list_keys: header-only key dump of a
+    checkpoint, and --check_schema dry-runs the strict vocoder/encoder
+    loaders against the declared shapes so key-name drift in a real
+    speech_tokenizer checkpoint surfaces as a diff, not a debugging
+    session (round-2 VERDICT item 8)."""
+    from safetensors.numpy import save_file
+
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+
+    cfg = tiny_tts_config()
+    # a real tiny-geometry decoder state dict (exact key grammar) via the
+    # random-init pytree round-tripped through torch-style names is
+    # overkill here; reuse the torch module like test_vocoder_golden
+    from test_vocoder_golden import _torch_model
+    m = _torch_model()
+    sd = {"decoder." + k: v.numpy() for k, v in m.state_dict().items()}
+    st_dir = tmp_path / "speech_tokenizer"
+    st_dir.mkdir()
+    save_file(sd, str(st_dir / "model.safetensors"))
+
+    # header-only listing
+    keys = weights_io.list_safetensors_keys(str(st_dir / "model.safetensors"))
+    assert set(keys) == set(sd)
+    for k, (dt, shape) in keys.items():
+        assert tuple(sd[k].shape) == shape
+
+    # schema dry-run through the CLI tool (decoder must pass; no encoder
+    # tensors -> non-zero exit with an explicit message)
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.convert_weights import main as cw_main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cw_main(["--model_dir", str(tmp_path), "--tiny",
+                      "--list_keys", "--check_schema"])
+    out = buf.getvalue()
+    assert "SCHEMA decoder (vocoder): OK" in out
+    assert "NO 'encoder.' tensors" in out
+    assert rc == 1  # encoder absent
+
+    # name drift is reported, not silently absorbed
+    bad = dict(sd)
+    bad["decoder.sine_gen.phase"] = np.zeros((3,), np.float32)
+    save_file(bad, str(st_dir / "model.safetensors"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cw_main(["--model_dir", str(tmp_path), "--tiny",
+                      "--list_keys", "--check_schema"])
+    assert "SCHEMA decoder (vocoder): MISMATCH" in buf.getvalue()
+    assert rc == 1

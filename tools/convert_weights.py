@@ -47,6 +47,17 @@ def main(argv=None) -> int:
                         "model.safetensors (or model_dir itself if it "
                         "contains one) into a vocoder/encoder npz instead "
                         "of the talker checkpoint")
+    p.add_argument("--list_keys", action="store_true",
+                   help="Dump every tensor name/dtype/shape of the "
+                        "checkpoint (header-only read, no weights) — for "
+                        "model.safetensors and speech_tokenizer/"
+                        "model.safetensors when present")
+    p.add_argument("--check_schema", action="store_true",
+                   help="With --list_keys: dry-run the strict "
+                        "vocoder/encoder loaders against the "
+                        "speech_tokenizer key schema (zero-filled tensors "
+                        "at the declared shapes) and report exactly which "
+                        "names mismatch")
     p.add_argument("--dump_embeddings", default=None,
                    help="Also dump text/codec embedding .npy files "
                         "(inspection parity with the reference's "
@@ -67,6 +78,11 @@ def main(argv=None) -> int:
 
     cfg = tiny_tts_config() if args.tiny else TTSConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.list_keys:
+        if args.model_dir is None:
+            p.error("--list_keys requires --model_dir")
+        return _list_keys(args, cfg)
 
     if args.speech_tokenizer:
         if args.model_dir is None:
@@ -117,6 +133,68 @@ def main(argv=None) -> int:
             print(f"  {name}: {np.asarray(arr).shape}")
 
     print("Done.")
+    return 0
+
+
+def _list_keys(args, cfg) -> int:
+    """Header-only key dump (+ optional loader-schema dry run)."""
+    import numpy as np
+
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    candidates = []
+    st = os.path.join(args.model_dir, "model.safetensors")
+    if os.path.exists(st):
+        candidates.append(("model", st))
+    st2 = os.path.join(args.model_dir, "speech_tokenizer",
+                       "model.safetensors")
+    if os.path.exists(st2):
+        candidates.append(("speech_tokenizer", st2))
+    if not candidates:
+        print(f"no model.safetensors under {args.model_dir}",
+              file=sys.stderr)
+        return 1
+
+    st_keys = None
+    for label, path in candidates:
+        keys = weights_io.list_safetensors_keys(path)
+        print(f"# {label}: {path} ({len(keys)} tensors)")
+        for k in sorted(keys):
+            dt, shape = keys[k]
+            print(f"{k}\t{dt}\t{list(shape)}")
+        if label == "speech_tokenizer":
+            st_keys = keys
+
+    if args.check_schema:
+        if st_keys is None:
+            print("\n--check_schema: no speech_tokenizer checkpoint found",
+                  file=sys.stderr)
+            return 1
+        zeros = {k: np.zeros(shape, np.float32)
+                 for k, (dt, shape) in st_keys.items()}
+        groups = weights_io.split_speech_tokenizer_state_dict(zeros)
+        from qwen3_tts_tpu.models import encoder as enc
+        checks = [("decoder (vocoder)", groups.get("decoder"),
+                   lambda sd: weights_io.load_vocoder_from_state_dict(
+                       sd, cfg.vocoder)),
+                  ("encoder (voice clone)", groups.get("encoder"),
+                   lambda sd: enc.load_encoder_from_state_dict(
+                       sd, cfg.encoder))]
+        rc = 0
+        for label, sd, loader in checks:
+            if not sd:
+                print(f"\nSCHEMA {label}: NO '{label.split()[0]}.' tensors "
+                      "in the checkpoint")
+                rc = 1
+                continue
+            try:
+                loader(sd)
+                print(f"\nSCHEMA {label}: OK — every expected name "
+                      "present, every checkpoint tensor consumed")
+            except (KeyError, ValueError) as e:
+                print(f"\nSCHEMA {label}: MISMATCH — {e}")
+                rc = 1
+        return rc
     return 0
 
 

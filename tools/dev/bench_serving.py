@@ -21,7 +21,8 @@ import numpy as np
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    qt = len(sys.argv) > 3 and sys.argv[3] == "int8"
+    qt = "int8" in sys.argv[3:]
+    paged = "paged" in sys.argv[3:]
     n_requests = batch * 3
 
     import jax
@@ -33,7 +34,7 @@ def main() -> int:
 
     _enable_compile_cache()
     print(f"device: {jax.devices()[0]}  batch={batch} chunk={chunk} "
-          f"int8_talker={qt} requests={n_requests}",
+          f"int8_talker={qt} paged={paged} requests={n_requests}",
           file=sys.stderr, flush=True)
 
     cfg = TTSConfig()
@@ -41,7 +42,8 @@ def main() -> int:
     qcp = "nocp" not in sys.argv
     b = ContinuousBatcher(cfg, engine.params, batch_size=batch,
                           decode_chunk=chunk, dtype=jnp.bfloat16,
-                          quantize_talker=qt, quantize_cp=qcp)
+                          quantize_talker=qt, quantize_cp=qcp,
+                          paged=paged)
     texts = [f"benchmark sentence number {i} with some words."
              for i in range(n_requests)]
 
@@ -66,19 +68,46 @@ def main() -> int:
     wall = time.perf_counter() - t0
 
     tokens = audio_s = 0
+    queue_w, first_tok, adm_audio, e2e = [], [], [], []
     for f in futs:
         codes, audio = f.result(timeout=1)
         tokens += len(codes)
         audio_s += len(audio) / 24000.0
+        r = f.request  # timing instrumentation (serve/batching._Request)
+        if r.t_admit is not None and r.t_done is not None:
+            queue_w.append(r.t_admit - r.t_submit)
+            adm_audio.append(r.t_done - r.t_admit)
+            e2e.append(r.t_done - r.t_submit)
+            if r.t_first is not None:
+                first_tok.append(r.t_first - r.t_admit)
+
+    def pct(a, q):
+        return float(np.percentile(a, q)) if a else float("nan")
+
     print(f"requests={n_requests} wall={wall:.2f}s tokens={tokens} "
           f"audio={audio_s:.1f}s  throughput={audio_s / wall:.2f} "
           f"audio-s/s  {tokens / wall:.0f} tok/s  "
           f"aggregate-RTF={wall / audio_s:.4f}", file=sys.stderr, flush=True)
+    print(f"latency (s): queue-wait p50={pct(queue_w, 50):.2f} "
+          f"p95={pct(queue_w, 95):.2f} | admission->first-token "
+          f"p50={pct(first_tok, 50):.2f} p95={pct(first_tok, 95):.2f} | "
+          f"admission->audio p50={pct(adm_audio, 50):.2f} "
+          f"p95={pct(adm_audio, 95):.2f} | e2e p50={pct(e2e, 50):.2f} "
+          f"p95={pct(e2e, 95):.2f}", file=sys.stderr, flush=True)
     import json
     print(json.dumps({"metric": "serving_throughput", "batch": batch,
+                      "paged": paged,
                       "value": round(audio_s / wall, 2),
                       "unit": "audio_seconds_per_second",
-                      "aggregate_rtf": round(wall / audio_s, 4)}))
+                      "aggregate_rtf": round(wall / audio_s, 4),
+                      "latency_s": {
+                          "queue_wait_p50": round(pct(queue_w, 50), 3),
+                          "first_token_p50": round(pct(first_tok, 50), 3),
+                          "first_token_p95": round(pct(first_tok, 95), 3),
+                          "admission_audio_p50": round(pct(adm_audio, 50), 3),
+                          "admission_audio_p95": round(pct(adm_audio, 95), 3),
+                          "e2e_p50": round(pct(e2e, 50), 3),
+                          "e2e_p95": round(pct(e2e, 95), 3)}}))
     return 0
 
 

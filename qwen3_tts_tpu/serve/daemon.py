@@ -19,10 +19,12 @@ talker protocol header, llamacpp_talker_server.py:13-27):
     [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens", "rtf",
               "total_seconds", "error"?}][int16 audio...]
 
-  chunked response ("stream": true, engine mode only) — audio frames
-  leave the process as soon as the engine renders them, so the head
-  chunk's ~sub-second first-audio is observable by clients instead of
-  being an internal metric:
+  chunked response ("stream": true) — audio frames leave the process as
+  soon as they render, so the head chunk's ~sub-second first-audio is
+  observable by clients instead of being an internal metric. In engine
+  mode frames follow the head schedule; in batched mode frames arrive at
+  decode-chunk cadence and concurrent streaming requests share the
+  decode batch:
     repeat: [u32 frame_len][u32 hdr_len][JSON {"chunk": i,
                 "n_samples"}][int16 audio...]
     final:  [u32 frame_len][u32 hdr_len][JSON {"done": true,
@@ -93,11 +95,9 @@ class TTSDaemon:
             mt = msg.get("max_tokens")
             mt = int(mt) if mt is not None else None
             if self.batcher is not None:
-                if msg.get("stream"):
-                    return encode_response(
-                        {"error": "chunked streaming is engine-mode only; "
-                                  "use an engine-mode daemon"}, None)
-                return self._handle_batched(msg, text, mt)
+                return self._handle_batched(
+                    msg, text, mt,
+                    send_frame if msg.get("stream") else None)
             if msg.get("stream") and send_frame is not None:
                 return self._handle_stream(msg, text, mt, send_frame)
             res = self.engine.synthesize(
@@ -153,27 +153,54 @@ class TTSDaemon:
                                        None))
         return None
 
-    def _handle_batched(self, msg, text: str, mt=None) -> bytes:
+    def _handle_batched(self, msg, text: str, mt=None,
+                        send_frame=None) -> Optional[bytes]:
+        """Batched-mode request. With ``send_frame`` (client sent
+        "stream": true), audio frames leave the wire at decode-chunk
+        cadence as the batcher renders each slot's conv-exact windows —
+        concurrent streaming requests share the decode batch, a
+        capability the single-request reference has no analog of."""
         import time as _time
 
         from qwen3_tts_tpu.models import vocoder as _voc
         lang = msg.get("language", "russian")
         from qwen3_tts_tpu.config import SUPPORTED_LANGUAGES
         if lang not in SUPPORTED_LANGUAGES:
-            return encode_response(
+            err = encode_response(
                 {"error": f"unsupported language {lang!r}"}, None)
+            if send_frame is not None:
+                send_frame(encode_response(
+                    {"done": True, "error": f"unsupported language "
+                                            f"{lang!r}"}, None))
+                return None
+            return err
         if msg.get("prompt_dir"):
-            return encode_response(
-                {"error": "prompt_dir (voice cloning) is not supported "
-                          "in batched mode; use an engine-mode daemon"},
-                None)
+            hdr = {"error": "prompt_dir (voice cloning) is not supported "
+                            "in batched mode; use an engine-mode daemon"}
+            if send_frame is not None:
+                send_frame(encode_response({"done": True, **hdr}, None))
+                return None
+            return encode_response(hdr, None)
         t0 = _time.perf_counter()
+        first_audio = [None]
+        on_chunk = None
+        if send_frame is not None:
+            idx = [0]
+
+            def on_chunk(seg: np.ndarray) -> None:
+                if first_audio[0] is None:
+                    first_audio[0] = _time.perf_counter() - t0
+                a16 = _voc.to_int16(seg)
+                send_frame(encode_response(
+                    {"chunk": idx[0], "n_samples": int(len(a16))}, a16))
+                idx[0] += 1
+
         ids, n_text = self.engine._encode_text(text)
         # max_tokens rides into the slot's per-request budget: the slot
         # stops decoding (and frees) at the cap — no decode-then-trim
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
                                   seed=int(msg.get("seed", 0)),
-                                  max_tokens=mt)
+                                  max_tokens=mt, on_chunk=on_chunk)
         codes, audio = fut.result(timeout=600)
         audio_i16 = _voc.to_int16(audio)
         total = _time.perf_counter() - t0
@@ -184,6 +211,11 @@ class TTSDaemon:
             "rtf": (total / dur) if dur > 0 else float("inf"),
             "total_seconds": total,
         }
+        if send_frame is not None:
+            send_frame(encode_response(
+                {"done": True, "first_audio_seconds": first_audio[0],
+                 **header}, None))
+            return None
         return encode_response(header, audio_i16)
 
     # -- serve loops --------------------------------------------------------

@@ -179,3 +179,49 @@ def test_batcher_on_mesh():
         for f in futs:
             codes, audio = f.result(timeout=1)
             assert len(audio) == len(codes) * 1920
+
+
+def test_streaming_request_matches_nonstreaming_audio(batcher):
+    """Batched streaming: on_chunk segments concatenate to EXACTLY the
+    blob audio of the same request, and both equal a plain non-streaming
+    submit with the same seed (conv-exact windows per chunk; a
+    capability the single-request reference has no analog of)."""
+    ids, n = _ids("stream me")
+    f_plain = batcher.submit(ids, n, seed=21)
+    for _ in range(400):
+        if f_plain.done():
+            break
+        batcher.step()
+    codes_plain, audio_plain = f_plain.result(timeout=1)
+    assert len(codes_plain) > 1
+
+    segs = []
+    f_stream = batcher.submit(ids, n, seed=21, on_chunk=segs.append)
+    for _ in range(400):
+        if f_stream.done():
+            break
+        batcher.step()
+    codes_s, audio_s = f_stream.result(timeout=1)
+    np.testing.assert_array_equal(codes_s, codes_plain)
+    assert len(segs) >= 1
+    streamed = np.concatenate(segs)
+    np.testing.assert_array_equal(streamed, audio_s)
+    np.testing.assert_array_equal(audio_s, audio_plain)
+
+
+def test_streaming_and_plain_share_the_batch(batcher):
+    """A streaming and a plain request decode together; chunk cadence
+    emissions for one must not disturb the other's result."""
+    ids1, n1 = _ids("mixed a")
+    ids2, n2 = _ids("mixed b")
+    segs = []
+    f1 = batcher.submit(ids1, n1, seed=31, on_chunk=segs.append)
+    f2 = batcher.submit(ids2, n2, seed=32)
+    for _ in range(400):
+        if f1.done() and f2.done():
+            break
+        batcher.step()
+    c1, a1 = f1.result(timeout=1)
+    c2, a2 = f2.result(timeout=1)
+    np.testing.assert_array_equal(np.concatenate(segs), a1)
+    assert len(a2) == len(c2) * 1920

@@ -222,3 +222,39 @@ def test_daemon_survives_malformed_requests(engine, tmp_path):
     finally:
         daemon.stop()
         t.join(timeout=10)
+
+
+def test_daemon_batched_chunked_streaming(engine, tmp_path):
+    """Batched daemon + "stream": true — frames arrive at decode-chunk
+    cadence and concatenate to the final audio (previously rejected as
+    engine-mode only)."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    sock = str(tmp_path / "tts_bstream.sock")
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, sock, batcher=batcher)
+    t = threading.Thread(target=daemon.serve, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.05)
+    try:
+        client = DaemonClient(sock)
+        frames = []
+        hdr, audio = client.synthesize("stream via batch", seed=3,
+                                       language="english", stream=True,
+                                       on_chunk=lambda h, a: frames.append(
+                                           (h, a)))
+        assert hdr["done"] and hdr["n_tokens"] > 0
+        assert hdr["n_samples"] == hdr["n_tokens"] * 1920
+        chunk_frames = [a for h, a in frames if not h.get("done")]
+        assert len(chunk_frames) >= 1
+        np.testing.assert_array_equal(np.concatenate(chunk_frames), audio)
+        # parity with a plain batched request, same seed
+        hdr2, audio2 = client.synthesize("stream via batch", seed=3,
+                                         language="english")
+        np.testing.assert_array_equal(audio, audio2)
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

@@ -12,8 +12,12 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/dev/bench_serving.py [b
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import numpy as np
 

@@ -621,12 +621,9 @@ class TTSEngine:
             for i in range(B):
                 n = int(n_codes[i])
                 codes_np = codes_all[i][:n]
-                if n > 0:
-                    audio = voc.synthesize_chunked_context(
-                        lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
-                        codes_np, VOC_CHUNK_SIZE)
-                else:
-                    audio = np.zeros((0,), np.float32)
+                audio = voc.synthesize_exact(
+                    lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
+                    codes_np)
                 audio_i16 = voc.to_int16(audio)
                 dur = len(audio_i16) / SAMPLE_RATE
                 results.append(SynthesisResult(

@@ -225,3 +225,39 @@ def test_streaming_and_plain_share_the_batch(batcher):
     c2, a2 = f2.result(timeout=1)
     np.testing.assert_array_equal(np.concatenate(segs), a1)
     assert len(a2) == len(c2) * 1920
+
+
+def test_streaming_on_mesh():
+    """Batched streaming composes with the dp x tp serving mesh: chunk
+    emissions for a streaming slot equal the plain result."""
+    import dataclasses
+    from qwen3_tts_tpu import config as C
+    from qwen3_tts_tpu.parallel import mesh as pmesh
+
+    talker = C.TalkerConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16,
+        text_vocab_size=151936, text_embed_dim=32, codec_vocab_size=3072,
+        max_seq_len=64)
+    cp_cfg = C.CodePredictorConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16)
+    cfg = dataclasses.replace(tiny_tts_config(max_tokens=6),
+                              talker=talker, code_predictor=cp_cfg)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(2, 4)
+    with mesh:
+        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                              dtype=jnp.float32, mesh=mesh)
+        ids, n = _ids("mesh stream")
+        f_plain = b.submit(ids, n, seed=9)
+        segs = []
+        f_stream = b.submit(ids, n, seed=9, on_chunk=segs.append)
+        for _ in range(300):
+            if f_plain.done() and f_stream.done():
+                break
+            b.step()
+        _, a_plain = f_plain.result(timeout=1)
+        _, a_stream = f_stream.result(timeout=1)
+        np.testing.assert_array_equal(np.concatenate(segs), a_stream)
+        np.testing.assert_array_equal(a_stream, a_plain)

@@ -63,3 +63,25 @@ def test_corrupt_disk_entry_falls_back(engine, tmp_path):
         assert res.n_tokens >= 0  # recomputed, no crash
     finally:
         engine.kv_cache_dir = None
+
+
+def test_pre_budget_disk_cache_format_loads(engine, tmp_path):
+    """Disk snapshots written before GenState grew the per-slot `budget`
+    field must still restore (budget defaults to cfg.max_tokens)."""
+    engine.kv_cache_dir = str(tmp_path)
+    try:
+        engine._prefix_cache.clear()
+        a = engine.synthesize("legacy fmt", language="english", seed=6)
+        files = [f for f in os.listdir(tmp_path)
+                 if f.startswith("qwen3_kv_")]
+        assert len(files) == 1
+        path = os.path.join(str(tmp_path), files[0])
+        data = dict(np.load(path))
+        assert "budget" in data
+        data.pop("budget")   # simulate a pre-budget snapshot
+        np.savez(path, **data)
+        engine._prefix_cache.clear()
+        b = engine.synthesize("legacy fmt", language="english", seed=6)
+        np.testing.assert_array_equal(a.codes, b.codes)
+    finally:
+        engine.kv_cache_dir = None

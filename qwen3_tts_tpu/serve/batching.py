@@ -313,6 +313,17 @@ class ContinuousBatcher:
         self._voc = jax.jit(
             lambda vp, codes: voc.decode(vp, codes, cfg.vocoder))
 
+        def _voc_slot_fn(vp, codes_row, W):
+            # one slot's codes (T, 16), padded/sliced to a static W-token
+            # window, decoded on device — dispatched on the DEVICE value
+            # so the vocoder starts before any codes fetch completes
+            T = codes_row.shape[0]
+            c = (codes_row[:W] if W <= T else jnp.concatenate(
+                [codes_row, jnp.zeros((W - T, 16), codes_row.dtype)]))
+            return voc.decode(vp, c[None], cfg.vocoder)
+
+        self._voc_slot = jax.jit(_voc_slot_fn, static_argnames=("W",))
+
     # -- public API ---------------------------------------------------------
 
     def submit(self, text_ids: np.ndarray, n_text: int,
@@ -493,15 +504,15 @@ class ContinuousBatcher:
                 self._state, jnp.asarray(slots), jnp.asarray(idxs),
                 jnp.asarray(pages), jnp.asarray(valid))
 
-    def _emit_stream_chunks(self, done, n_codes, codes_all) -> None:
-        """Per-slot streaming emissions: decode each streaming slot's new
-        tokens through a conv-exact full-left-context window (the same
-        construction as the engine's streaming mode — one token held back
-        as real lookahead while the slot is live, zero-code lookahead on
-        the final window), so the concatenated segments equal the
-        non-streaming audio sample for sample. All windows dispatch
-        before any fetch (async pipelining)."""
-        spt = 1920
+    def _dispatch_stream_windows(self, done, n_codes):
+        """Per-slot streaming emissions, dispatch phase: decode each
+        streaming slot's new tokens through a conv-exact full-left-
+        context DEVICE window (the same construction as the engine's
+        streaming mode — one token held back as real lookahead while the
+        slot is live, zero-code lookahead on the final window), so the
+        concatenated segments equal the non-streaming audio sample for
+        sample. Windows dispatch on device values (chained behind the
+        decode chunk), before any codes fetch."""
         jobs = []
         for slot in range(self.batch_size):
             req = self._slot_req[slot]
@@ -512,19 +523,11 @@ class ContinuousBatcher:
             if end <= req.rendered:
                 continue
             W = voc.voc_bucket(end + 1)
-            buf = np.zeros((1, W, 16), np.int32)
-            m = min(W, n)
-            buf[0, :m] = codes_all[slot][:m]
-            fut = self._voc(self.params["vocoder"], jnp.asarray(buf))
+            fut = self._voc_slot(self.params["vocoder"],
+                                 self._state.codes[slot], W=W)
             jobs.append((req, fut, req.rendered, end))
             req.rendered = end
-        for req, fut, start, end in jobs:
-            try:
-                seg = np.asarray(fut)[0][start * spt:end * spt]
-                req.audio_parts.append(seg)
-                req.on_chunk(seg)
-            except Exception:
-                pass  # a failing consumer must not kill the batch
+        return jobs
 
     def _harvest(self) -> int:
         # ONE combined round trip for the post-run status
@@ -542,28 +545,47 @@ class ContinuousBatcher:
                           if self._slot_req[s] is not None and done[s]]
         if not finished_slots and not streaming_work:
             return 0
-        # one fetch for every slot's codes (the int32 buffer is ~50 KB/slot
-        # — one round trip beats one per slot)
-        codes_all = np.asarray(jax.device_get(self._state.codes))
-        if streaming_work:
-            self._emit_stream_chunks(done, n_codes, codes_all)
+        # dispatch every vocoder window on DEVICE codes first (chained
+        # behind the decode chunk), so the codes fetch below overlaps
+        # their execution instead of gating their dispatch
+        stream_jobs = self._dispatch_stream_windows(done, n_codes)
+        voc_futs = {}
+        for slot in finished_slots:
+            req = self._slot_req[slot]
+            n = int(n_codes[slot])
+            if req.on_chunk is None and 0 < n <= 256:
+                voc_futs[slot] = self._voc_slot(
+                    self.params["vocoder"], self._state.codes[slot],
+                    W=voc.voc_bucket(n + 1))
+        codes_all = (np.asarray(jax.device_get(self._state.codes))
+                     if finished_slots else None)
+        spt = 1920
+        for req, fut, start, end in stream_jobs:
+            try:
+                seg = np.asarray(fut)[0][start * spt:end * spt]
+                req.audio_parts.append(seg)
+                req.on_chunk(seg)
+            except Exception:
+                pass  # a failing consumer must not kill the batch
         finished = 0
         for slot in finished_slots:
             req = self._slot_req[slot]
             n = int(n_codes[slot])
             codes = codes_all[slot][:n]
             try:
+                # same audio as the CLI/engine for the same codes: the
+                # exact bucketed (device-windowed) / left-context path
+                # (round-2 VERDICT Weak #2 — crossfade blending stays
+                # wire-compat-only, serve/compat.py)
                 if req.on_chunk is not None:
                     # streamed slots already rendered everything through
                     # the exact windows; the blob result is their concat
                     audio = (np.concatenate(req.audio_parts)
                              if req.audio_parts
                              else np.zeros((0,), np.float32))
-                else:
-                    # same audio as the CLI/engine for the same codes: the
-                    # exact bucketed/left-context path (round-2 VERDICT
-                    # Weak #2 — crossfade blending stays wire-compat-only,
-                    # serve/compat.py)
+                elif slot in voc_futs:
+                    audio = np.asarray(voc_futs[slot])[0][:n * spt]
+                else:  # n == 0 or > 256 tokens
                     audio = voc.synthesize_exact(
                         lambda ch: self._voc(self.params["vocoder"],
                                              jnp.asarray(ch)),

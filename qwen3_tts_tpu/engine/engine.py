@@ -584,16 +584,33 @@ class TTSEngine:
                     # tunnel round trip per head chunk
                 # Phase 2 — the head bought ~5 s of playout headroom
                 # (64 tokens of audio vs ~0.5 s of decode): finish the
-                # whole utterance in ONE invocation, then vocode the tail
-                # in 64-token paced emissions (same full-left-context
-                # windows, from the fetched host codes so the final
-                # window can exceed the device buffer by its zero-code
-                # lookahead rows).
-                if not done and decoded < budget_cap:
-                    state = self._run_chunk(tp, cpp, state,
-                                            jnp.int32(budget_cap - decoded))
+                # whole utterance in ONE invocation, then dispatch the
+                # tail's 64-token-paced windows OPTIMISTICALLY on the
+                # device codes (bounded by the EOS-pacing cap: the force
+                # at progress > 2.0 guarantees n <= 6*n_text + 1), so the
+                # blocking n/codes fetch overlaps the tail vocoding. The
+                # flush trims each window to the true count; overshoot
+                # windows are skipped without a fetch. After the slot is
+                # done, rows past n are zero on device, so every kept
+                # sample equals the final decode.
+                if not done:
+                    if decoded < budget_cap:
+                        state = self._run_chunk(
+                            tp, cpp, state, jnp.int32(budget_cap - decoded))
+                    bound = min(budget_cap,
+                                6 * int(jax.device_get(n_text)) + 2)
+                    while rendered < min(bound, T_buf) - 1:
+                        end = min(rendered + VOC_CHUNK_SIZE, bound - 1,
+                                  T_buf - 1)
+                        W = min(voc.voc_bucket(end + 1), T_buf)
+                        fut = self._voc_chunk(vp, state.codes[:, :W])
+                        pending.append((fut, rendered, end - rendered))
+                        rendered = end
                 n = int(jax.device_get(state.n_codes)[0])
                 codes_np = np.asarray(jax.device_get(state.codes))[0][:n]
+                # rare remainder (n at the optimistic bound, or EOS known
+                # early in on_chunk mode): host windows with the zero-code
+                # lookahead rows past the device buffer
                 while rendered < n:
                     end = min(rendered + VOC_CHUNK_SIZE, n)
                     W = voc.voc_bucket(end + 1)

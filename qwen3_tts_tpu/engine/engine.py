@@ -430,6 +430,10 @@ class TTSEngine:
                 prompt = (ref_codes_np, min(n_target, int(n_text)))
             else:
                 text_ids, n_text = self._encode_text(text)
+            # host copy, fetched while the device queue is empty (a
+            # device_get later in the stream path would pay a tunnel
+            # round trip mid-pipeline)
+            n_text_i = int(n_text)
 
         def _prefill(k):
             if prompt is None:
@@ -597,8 +601,7 @@ class TTSEngine:
                     if decoded < budget_cap:
                         state = self._run_chunk(
                             tp, cpp, state, jnp.int32(budget_cap - decoded))
-                    bound = min(budget_cap,
-                                6 * int(jax.device_get(n_text)) + 2)
+                    bound = min(budget_cap, 6 * n_text_i + 2)
                     while rendered < min(bound, T_buf) - 1:
                         end = min(rendered + VOC_CHUNK_SIZE, bound - 1,
                                   T_buf - 1)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qwen3_tts_tpu.config import TTSConfig
+from qwen3_tts_tpu.config import SAMPLES_PER_TOKEN, TTSConfig
 from qwen3_tts_tpu.engine import generate as gen
 from qwen3_tts_tpu.models import talker as tk
 from qwen3_tts_tpu.models import transformer as tfm
@@ -47,10 +47,13 @@ class _Request:
         self.seed = seed
         self.max_tokens = max_tokens
         # streaming: called with each new float32 audio segment as soon
-        # as its tokens are final (conv-exact windows, chunk cadence)
+        # as its tokens are final (conv-exact windows, paced emissions).
+        # Runs on the SCHEDULER thread — it must not block (queue the
+        # segment and return; serve/daemon._handle_batched does this)
         self.on_chunk = on_chunk
         self.rendered = 0              # tokens whose audio was emitted
         self.audio_parts: List[np.ndarray] = []
+        self.stream_error: Optional[BaseException] = None
         self.future: Future = Future()
         # latency instrumentation (tools/dev/bench_serving.py): queue wait
         # = t_admit - t_submit; admission -> first token = t_first -
@@ -333,14 +336,15 @@ class ContinuousBatcher:
         (codes np[T,16], audio float32 np). ``max_tokens``: per-request
         cap — the slot stops (and frees) at that many tokens.
 
-        ``on_chunk``: streaming — called (from the scheduler thread) with
-        each new float32 audio segment as soon as its tokens are final,
-        at decode-chunk cadence. Segments are conv-exact full-left-
-        context windows, so their concatenation is sample-identical to
-        the non-streaming result (the same contract as the engine's
-        streaming mode). Batched streaming is a capability the reference
-        does not have at all (its streaming is single-request,
-        client-internal; tts_client.py:189-197)."""
+        ``on_chunk``: streaming — called FROM THE SCHEDULER THREAD (it
+        must queue and return, never block) with each new float32 audio
+        segment once its tokens are final, paced at >= 48 new tokens per
+        emission (final segment always flushes). Segments are conv-exact
+        full-left-context windows, so their concatenation is
+        sample-identical to the non-streaming result (the same contract
+        as the engine's streaming mode). Batched streaming is a
+        capability the reference does not have at all (its streaming is
+        single-request, client-internal; tts_client.py:189-197)."""
         req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
                        seed, max_tokens, on_chunk)
         req.future.request = req  # expose timing to callers (bench/metrics)
@@ -360,7 +364,7 @@ class ContinuousBatcher:
 
     def _req_budget(self, req: "_Request") -> int:
         mt = req.max_tokens
-        return (min(int(mt), self.cfg.max_tokens) if mt
+        return (min(int(mt), self.cfg.max_tokens) if mt is not None
                 else self.cfg.max_tokens)
 
     def _free_slots(self, done: np.ndarray) -> List[int]:
@@ -504,6 +508,15 @@ class ContinuousBatcher:
                 self._state, jnp.asarray(slots), jnp.asarray(idxs),
                 jnp.asarray(pages), jnp.asarray(valid))
 
+    # minimum new tokens per streaming emission while a slot is live
+    # (the final emission always flushes). Full-left-context windows make
+    # per-window cost O(end), so emitting every decode chunk would make a
+    # request's total vocoder work ~quadratic in its length; 48-token
+    # pacing (the reference client's 64-token cadence, tts_client.py:31)
+    # bounds the total at ~2-3x a single full decode while keeping ~4 s
+    # of audio per wire frame.
+    stream_emit_tokens = 48
+
     def _dispatch_stream_windows(self, done, n_codes):
         """Per-slot streaming emissions, dispatch phase: decode each
         streaming slot's new tokens through a conv-exact full-left-
@@ -520,7 +533,9 @@ class ContinuousBatcher:
                 continue
             n = int(n_codes[slot])
             end = n if done[slot] else max(n - 1, 0)
-            if end <= req.rendered:
+            if end <= req.rendered or (
+                    not done[slot]
+                    and end - req.rendered < self.stream_emit_tokens):
                 continue
             W = voc.voc_bucket(end + 1)
             fut = self._voc_slot(self.params["vocoder"],
@@ -559,11 +574,18 @@ class ContinuousBatcher:
                     W=voc.voc_bucket(n + 1))
         codes_all = (np.asarray(jax.device_get(self._state.codes))
                      if finished_slots else None)
-        spt = 1920
+        spt = SAMPLES_PER_TOKEN
         for req, fut, start, end in stream_jobs:
             try:
                 seg = np.asarray(fut)[0][start * spt:end * spt]
-                req.audio_parts.append(seg)
+            except Exception as e:
+                # a failed device fetch leaves a hole that cannot be
+                # re-rendered (rendered already advanced) — surface it on
+                # the request instead of resolving with silent gaps
+                req.stream_error = e
+                continue
+            req.audio_parts.append(seg)
+            try:
                 req.on_chunk(seg)
             except Exception:
                 pass  # a failing consumer must not kill the batch
@@ -578,6 +600,8 @@ class ContinuousBatcher:
                 # (round-2 VERDICT Weak #2 — crossfade blending stays
                 # wire-compat-only, serve/compat.py)
                 if req.on_chunk is not None:
+                    if req.stream_error is not None:
+                        raise req.stream_error
                     # streamed slots already rendered everything through
                     # the exact windows; the blob result is their concat
                     audio = (np.concatenate(req.audio_parts)

@@ -181,19 +181,28 @@ class TTSDaemon:
                 send_frame(encode_response({"done": True, **hdr}, None))
                 return None
             return encode_response(hdr, None)
+        if mt is not None and mt < 1:
+            hdr = {"error": f"max_tokens must be >= 1, got {mt}"}
+            if send_frame is not None:
+                send_frame(encode_response({"done": True, **hdr}, None))
+                return None
+            return encode_response(hdr, None)
         t0 = _time.perf_counter()
         first_audio = [None]
         on_chunk = None
+        seg_q = None
         if send_frame is not None:
-            idx = [0]
+            import queue as _queue
+            # on_chunk runs on the batcher's SCHEDULER thread: it must
+            # never block (a stalled client's full socket buffer would
+            # freeze decode for the whole batch), so segments queue here
+            # and THIS connection's thread drains them onto the wire
+            seg_q = _queue.Queue()
 
             def on_chunk(seg: np.ndarray) -> None:
                 if first_audio[0] is None:
                     first_audio[0] = _time.perf_counter() - t0
-                a16 = _voc.to_int16(seg)
-                send_frame(encode_response(
-                    {"chunk": idx[0], "n_samples": int(len(a16))}, a16))
-                idx[0] += 1
+                seg_q.put(seg)
 
         ids, n_text = self.engine._encode_text(text)
         # max_tokens rides into the slot's per-request budget: the slot
@@ -201,7 +210,40 @@ class TTSDaemon:
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
                                   seed=int(msg.get("seed", 0)),
                                   max_tokens=mt, on_chunk=on_chunk)
-        codes, audio = fut.result(timeout=600)
+
+        def _drain(block: bool) -> int:
+            sent = 0
+            while True:
+                try:
+                    seg = seg_q.get(timeout=0.1 if block else 0.0)
+                except Exception:
+                    return sent
+                a16 = _voc.to_int16(seg)
+                send_frame(encode_response(
+                    {"chunk": idx[0], "n_samples": int(len(a16))}, a16))
+                idx[0] += 1
+                sent += 1
+                block = False
+
+        idx = [0]
+        try:
+            if seg_q is not None:
+                deadline = _time.monotonic() + 600
+                while not fut.done():
+                    _drain(block=True)
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError("batched synthesis timed out")
+                _drain(block=False)
+            codes, audio = fut.result(timeout=600)
+        except Exception as e:
+            # streams must ALWAYS terminate with a done-frame (the
+            # engine-mode contract, _handle_stream) — a client reading
+            # frames until "done" would otherwise hang
+            if send_frame is not None:
+                send_frame(encode_response({"done": True,
+                                            "error": str(e)}, None))
+                return None
+            raise
         audio_i16 = _voc.to_int16(audio)
         total = _time.perf_counter() - t0
         dur = len(audio_i16) / 24000.0

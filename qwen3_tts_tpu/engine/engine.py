@@ -21,7 +21,6 @@ import dataclasses
 import os
 import sys
 import time
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

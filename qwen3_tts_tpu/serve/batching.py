@@ -24,7 +24,6 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

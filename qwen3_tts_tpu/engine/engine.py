@@ -460,9 +460,12 @@ class TTSEngine:
         if not streaming and self._chained_vocode and budget_cap <= 256:
             # chained dispatch (see __init__): decode program, then the
             # vocoder immediately on the device codes; the status/codes
-            # round trips overlap the vocoder's execution.
+            # round trips overlap the vocoder's execution. The window is
+            # bounded by the EOS-pacing cap (force at progress > 2.0
+            # guarantees n <= 6*n_text + 1), so short texts decode a
+            # narrower window.
             with timer.stage("decode+vocoder"):
-                W = voc.voc_bucket(budget_cap + 1)
+                W = voc.voc_bucket(min(budget_cap, 6 * n_text_i + 2) + 1)
                 st0, state = _prefill_fused(key, jnp.int32(budget_cap))
                 if st0 is None:  # cache hit / prompt / disk path
                     state = self._decode_pipelined(tp, cpp, state,

@@ -513,8 +513,11 @@ class ContinuousBatcher:
     # request's total vocoder work ~quadratic in its length; 48-token
     # pacing (the reference client's 64-token cadence, tts_client.py:31)
     # bounds the total at ~2-3x a single full decode while keeping ~4 s
-    # of audio per wire frame.
+    # of audio per wire frame. The FIRST emission uses a small head
+    # threshold so a streaming client's first frame lands after one or
+    # two decode chunks (the engine head-schedule analog).
     stream_emit_tokens = 48
+    stream_head_tokens = 8
 
     def _dispatch_stream_windows(self, done, n_codes):
         """Per-slot streaming emissions, dispatch phase: decode each
@@ -532,9 +535,10 @@ class ContinuousBatcher:
                 continue
             n = int(n_codes[slot])
             end = n if done[slot] else max(n - 1, 0)
+            min_emit = (self.stream_head_tokens if req.rendered == 0
+                        else self.stream_emit_tokens)
             if end <= req.rendered or (
-                    not done[slot]
-                    and end - req.rendered < self.stream_emit_tokens):
+                    not done[slot] and end - req.rendered < min_emit):
                 continue
             W = voc.voc_bucket(end + 1)
             fut = self._voc_slot(self.params["vocoder"],

@@ -350,6 +350,20 @@ class ContinuousBatcher:
         self._queue.put(req)
         return req.future
 
+    def occupancy(self) -> dict:
+        """Scheduler occupancy snapshot for the daemon's stats endpoint
+        (approximate: read without pausing the scheduler thread)."""
+        active = sum(1 for r in self._slot_req if r is not None)
+        snap = {
+            "batch_size": self.batch_size,
+            "active_slots": active,
+            "queued": self._queue.qsize() + len(self._backlog),
+            "paged": self.paged,
+        }
+        if self.paged:
+            snap["free_pages"] = len(self._free_pages)
+        return snap
+
     def start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -575,6 +589,15 @@ class ContinuousBatcher:
                 voc_futs[slot] = self._voc_slot(
                     self.params["vocoder"], self._state.codes[slot],
                     W=voc.voc_bucket(n + 1))
+        # start every pending d2h transfer together (slot codes + all
+        # dispatched windows): the fetch loops below then drain one
+        # overlapped burst instead of paying a round trip per window
+        if finished_slots:
+            self._state.codes.copy_to_host_async()
+        for _, fut_, _, _ in stream_jobs:
+            fut_.copy_to_host_async()
+        for fut_ in voc_futs.values():
+            fut_.copy_to_host_async()
         codes_all = (np.asarray(jax.device_get(self._state.codes))
                      if finished_slots else None)
         spt = SAMPLES_PER_TOKEN

@@ -34,11 +34,13 @@ talker protocol header, llamacpp_talker_server.py:13-27):
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import socket
 import struct
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -46,6 +48,67 @@ import numpy as np
 from qwen3_tts_tpu.engine.engine import TTSEngine
 
 DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
+
+
+class ServingStats:
+    """Thread-safe aggregate serving counters for the daemon's
+    ``{"cmd": "stats"}`` endpoint. The reference exposes per-request
+    stdout prints only (SURVEY §5 — no metrics endpoint); a resident
+    serving daemon needs queryable aggregates for capacity monitoring.
+
+    Percentiles are computed over a ring of the most recent 512 requests
+    so long-lived daemons report current behavior, not lifetime soup."""
+
+    WINDOW = 512
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.t_start = time.monotonic()
+        self.requests = 0
+        self.errors = 0
+        self.tokens = 0
+        self.audio_seconds = 0.0
+        self._total_s = collections.deque(maxlen=self.WINDOW)
+        self._rtf = collections.deque(maxlen=self.WINDOW)
+        self._first_audio = collections.deque(maxlen=self.WINDOW)
+
+    def record(self, n_tokens: int, total_seconds: float,
+               rtf: float, first_audio: Optional[float] = None) -> None:
+        with self._lock:
+            self.requests += 1
+            self.tokens += int(n_tokens)
+            self.audio_seconds += n_tokens * 1920 / 24000.0
+            self._total_s.append(float(total_seconds))
+            if rtf == rtf and rtf != float("inf"):  # skip NaN/inf (0-token)
+                self._rtf.append(float(rtf))
+            if first_audio is not None:
+                self._first_audio.append(float(first_audio))
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    @staticmethod
+    def _pcts(xs) -> Optional[dict]:
+        if not xs:
+            return None
+        a = np.sort(np.asarray(xs, np.float64))
+        return {"p50": round(float(np.percentile(a, 50)), 4),
+                "p95": round(float(np.percentile(a, 95)), 4),
+                "n": int(len(a))}
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "uptime_seconds": round(time.monotonic() - self.t_start, 1),
+                "requests": self.requests,
+                "errors": self.errors,
+                "tokens": self.tokens,
+                "audio_seconds": round(self.audio_seconds, 2),
+                "total_seconds": self._pcts(self._total_s),
+                "rtf": self._pcts(self._rtf),
+                "first_audio_seconds": self._pcts(self._first_audio),
+            }
 
 
 def encode_response(header: dict, audio_int16: Optional[np.ndarray]) -> bytes:
@@ -80,6 +143,7 @@ class TTSDaemon:
         self.engine = engine
         self.socket_path = socket_path
         self.batcher = batcher
+        self.stats = ServingStats()
         self._stop = threading.Event()
 
     # -- request handling ---------------------------------------------------
@@ -89,8 +153,16 @@ class TTSDaemon:
         writing chunked frames through ``send_frame`` ("stream" mode)."""
         try:
             msg = json.loads(req.decode())
+            if msg.get("cmd") == "stats":
+                snap = self.stats.snapshot()
+                if self.batcher is not None:
+                    snap["batcher"] = self.batcher.occupancy()
+                snap["mode"] = ("batched" if self.batcher is not None
+                                else "engine")
+                return encode_response(snap, None)
             text = msg.get("text", "")
             if not text:
+                self.stats.record_error()
                 return encode_response({"error": "empty text"}, None)
             mt = msg.get("max_tokens")
             mt = int(mt) if mt is not None else None
@@ -114,8 +186,11 @@ class TTSDaemon:
                 "rtf": float(res.rtf),
                 "total_seconds": float(res.total_seconds),
             }
+            self.stats.record(res.n_tokens, res.total_seconds, res.rtf,
+                              res.first_audio_seconds)
             return encode_response(header, res.audio_int16)
         except Exception as e:  # error sentinel semantics
+            self.stats.record_error()
             return encode_response({"error": str(e)}, None)
 
     def _handle_stream(self, msg, text: str, mt, send_frame) -> None:
@@ -148,7 +223,10 @@ class TTSDaemon:
                 "total_seconds": float(res.total_seconds),
                 "first_audio_seconds": res.first_audio_seconds,
             }, None))
+            self.stats.record(res.n_tokens, res.total_seconds, res.rtf,
+                              res.first_audio_seconds)
         except Exception as e:
+            self.stats.record_error()
             send_frame(encode_response({"done": True, "error": str(e)},
                                        None))
         return None
@@ -166,6 +244,7 @@ class TTSDaemon:
         lang = msg.get("language", "russian")
         from qwen3_tts_tpu.config import SUPPORTED_LANGUAGES
         if lang not in SUPPORTED_LANGUAGES:
+            self.stats.record_error()
             err = encode_response(
                 {"error": f"unsupported language {lang!r}"}, None)
             if send_frame is not None:
@@ -175,6 +254,7 @@ class TTSDaemon:
                 return None
             return err
         if msg.get("prompt_dir"):
+            self.stats.record_error()
             hdr = {"error": "prompt_dir (voice cloning) is not supported "
                             "in batched mode; use an engine-mode daemon"}
             if send_frame is not None:
@@ -182,6 +262,7 @@ class TTSDaemon:
                 return None
             return encode_response(hdr, None)
         if mt is not None and mt < 1:
+            self.stats.record_error()
             hdr = {"error": f"max_tokens must be >= 1, got {mt}"}
             if send_frame is not None:
                 send_frame(encode_response({"done": True, **hdr}, None))
@@ -236,6 +317,7 @@ class TTSDaemon:
                 _drain(block=False)
             codes, audio = fut.result(timeout=600)
         except Exception as e:
+            self.stats.record_error()
             # streams must ALWAYS terminate with a done-frame (the
             # engine-mode contract, _handle_stream) — a client reading
             # frames until "done" would otherwise hang
@@ -253,6 +335,7 @@ class TTSDaemon:
             "rtf": (total / dur) if dur > 0 else float("inf"),
             "total_seconds": total,
         }
+        self.stats.record(len(codes), total, header["rtf"], first_audio[0])
         if send_frame is not None:
             send_frame(encode_response(
                 {"done": True, "first_audio_seconds": first_audio[0],
@@ -346,6 +429,21 @@ class DaemonClient:
 
     def __init__(self, socket_path: str = DEFAULT_SOCKET):
         self.socket_path = socket_path
+
+    def stats(self) -> dict:
+        """Query the daemon's aggregate serving counters
+        (``{"cmd": "stats"}`` request; header-only response)."""
+        msg = json.dumps({"cmd": "stats"}).encode()
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            c.connect(self.socket_path)
+            c.sendall(struct.pack("<I", len(msg)) + msg)
+            raw = _recv_exact(c, 4)
+            n = struct.unpack("<I", raw)[0]
+            header, _ = decode_response(_recv_exact(c, n))
+            return header
+        finally:
+            c.close()
 
     def synthesize(self, text: str, language: str = "russian",
                    streaming: bool = False, seed: int = 0,

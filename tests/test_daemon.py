@@ -258,3 +258,75 @@ def test_daemon_batched_chunked_streaming(engine, tmp_path):
     finally:
         daemon.stop()
         t.join(timeout=10)
+
+
+def test_daemon_stats_endpoint(engine, tmp_path):
+    """{"cmd": "stats"} returns aggregate serving counters: request and
+    error counts, token/audio totals, and latency percentiles over the
+    recent window — the observability surface a resident daemon needs
+    (the reference prints per-request stdout lines only, SURVEY §5)."""
+    sock = str(tmp_path / "tts_stats.sock")
+    daemon, t = _run_daemon(engine, sock, native_loop=False)
+    try:
+        client = DaemonClient(sock)
+        s0 = client.stats()
+        assert s0["mode"] == "engine"
+        assert s0["requests"] == 0 and s0["errors"] == 0
+        assert s0["rtf"] is None  # no data yet
+
+        hdr1, _ = client.synthesize("count me", language="english", seed=1)
+        hdr2, _ = client.synthesize("count me too", language="russian",
+                                    seed=2)
+        with pytest.raises(RuntimeError):
+            client.synthesize("x", language="klingon")
+
+        s = client.stats()
+        assert s["requests"] == 2
+        assert s["errors"] == 1
+        assert s["tokens"] == hdr1["n_tokens"] + hdr2["n_tokens"]
+        assert s["audio_seconds"] == pytest.approx(
+            s["tokens"] * 1920 / 24000.0, abs=0.02)
+        assert s["rtf"]["n"] == 2 and s["rtf"]["p50"] > 0
+        assert s["total_seconds"]["p95"] >= s["total_seconds"]["p50"] > 0
+        assert s["uptime_seconds"] >= 0
+        # stats queries are not counted as requests
+        assert client.stats()["requests"] == 2
+    finally:
+        daemon.stop()
+        t.join(timeout=5)
+
+
+def test_daemon_stats_batched(engine, tmp_path):
+    """Batched-mode stats include scheduler occupancy."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    sock = str(tmp_path / "tts_stats_b.sock")
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, sock, batcher=batcher)
+    t = threading.Thread(target=daemon.serve, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.05)
+    try:
+        client = DaemonClient(sock)
+        hdr, _ = client.synthesize("batched stats", language="english",
+                                   seed=3)
+        s = client.stats()
+        assert s["mode"] == "batched"
+        assert s["requests"] == 1
+        assert s["tokens"] == hdr["n_tokens"]
+        occ = s["batcher"]
+        assert occ["batch_size"] == 2
+        assert occ["active_slots"] == 0 and occ["queued"] == 0
+        assert occ["paged"] is False
+        # streamed batched requests are counted too (with first-audio)
+        client.synthesize("batched stream stats", language="english",
+                          seed=4, stream=True)
+        s2 = client.stats()
+        assert s2["requests"] == 2
+        assert s2["first_audio_seconds"]["n"] >= 1
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

@@ -286,6 +286,7 @@ class ContinuousBatcher:
         self._slot_req: List[Optional[_Request]] = [None] * batch_size
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self._draining = False
         self._thread: Optional[threading.Thread] = None
 
         def _prefill_fn(pcfg):
@@ -368,10 +369,50 @@ class ContinuousBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, drain: bool = True, timeout: float = 60.0) -> None:
+        """Stop the scheduler. ``drain=True`` (default) stops admitting
+        new requests but lets in-flight slots finish decoding (bounded by
+        ``timeout``); anything still unfinished after the scheduler halts
+        — queued, backlogged, or mid-decode — fails with a RuntimeError
+        instead of leaving its Future pending forever (a client blocked
+        on a dead scheduler would otherwise hang to its own timeout)."""
+        if drain and self._thread is not None and self._thread.is_alive():
+            self._draining = True
+            deadline = time.monotonic() + timeout
+            while (any(r is not None for r in self._slot_req)
+                   and time.monotonic() < deadline):
+                time.sleep(0.01)
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=10)
+        leftovers = [r for r in self._slot_req if r is not None]
+        leftovers += self._backlog
+        self._backlog = []
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for r in leftovers:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("batcher stopped"))
+        if self.paged:
+            # abandoned in-flight slots must return their pages (their
+            # zeroed table rows alias reserved page 0, which is never
+            # read, so any residual frozen-slot writes are harmless)
+            for slot in range(self.batch_size):
+                if self._slot_req[slot] is not None and self._slot_pages[slot]:
+                    self._state = self._release(self._state, jnp.int32(slot))
+                    self._free_by_group[self._slot_group(slot)].extend(
+                        self._slot_pages[slot])
+                    self._slot_pages[slot] = []
+        self._slot_req = [None] * self.batch_size
+        # leave the scheduler restartable: a stopped batcher can start()
+        # again (slot state was reset above; decode state is idempotent —
+        # done slots are recycled on admission)
+        self._draining = False
+        self._stop.clear()
+        self._thread = None
 
     # -- scheduler ----------------------------------------------------------
 
@@ -395,6 +436,8 @@ class ContinuousBatcher:
         return [p for g in self._free_by_group for p in g]
 
     def _next_request(self) -> Optional[_Request]:
+        if self._draining:   # graceful stop: no new admissions
+            return None
         if self._backlog:
             return self._backlog.pop(0)
         try:

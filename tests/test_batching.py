@@ -261,3 +261,43 @@ def test_streaming_on_mesh():
         _, a_stream = f_stream.result(timeout=1)
         np.testing.assert_array_equal(np.concatenate(segs), a_stream)
         np.testing.assert_array_equal(a_stream, a_plain)
+
+
+def test_stop_drains_in_flight_and_fails_queued():
+    """stop(drain=True): in-flight requests finish; queued-beyond-capacity
+    requests fail with RuntimeError instead of hanging their Futures."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids, n = _ids("drain me")
+    b.start()
+    try:
+        in_flight = [b.submit(ids, n, seed=i) for i in range(2)]
+        # wait for both to be admitted so they are genuinely in flight
+        deadline = __import__("time").time() + 60
+        while (any(r is None for r in b._slot_req)
+               and __import__("time").time() < deadline):
+            __import__("time").sleep(0.01)
+        queued = [b.submit(ids, n, seed=9)]
+    finally:
+        b.stop(drain=True, timeout=120)
+    for f in in_flight:
+        codes, audio = f.result(timeout=0)   # already resolved
+        assert len(codes) > 0
+    for f in queued:
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            f.result(timeout=0)
+
+
+def test_stop_without_drain_fails_everything():
+    """stop(drain=False) must still resolve every Future (with an error),
+    never leave a client blocked on a dead scheduler."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids, n = _ids("cut off")
+    futs = [b.submit(ids, n, seed=i) for i in range(3)]
+    b.stop(drain=False)   # scheduler never started: queued requests fail
+    for f in futs:
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            f.result(timeout=0)

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "VMEM-resident CP kernel; vocoder stays FP32)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace (Perfetto) to DIR")
+    p.add_argument("--long", action="store_true",
+                   help="paragraph mode: split the text into sentences "
+                        "and decode them in batched groups "
+                        "(synthesize_long) instead of one bounded "
+                        "request")
     p.add_argument("--prompt_dir", default=None,
                    help="Voice-cloning prompt dir (ref_codec_tokens.npy + "
                         "ref_text.txt) from tools/encode_reference_audio.py; "
@@ -88,9 +93,15 @@ def main(argv=None) -> int:
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        seed=args.seed, quantize=args.quantize)
     with device_trace(args.profile):
-        res = engine.synthesize(text, language=args.language,
-                                output=args.output, streaming=args.streaming,
-                                seed=args.seed, prompt_dir=args.prompt_dir)
+        if args.long:
+            res = engine.synthesize_long(text, language=args.language,
+                                         output=args.output, seed=args.seed)
+        else:
+            res = engine.synthesize(text, language=args.language,
+                                    output=args.output,
+                                    streaming=args.streaming,
+                                    seed=args.seed,
+                                    prompt_dir=args.prompt_dir)
     if res.n_tokens == 0:
         print("No tokens generated!")
         return 1

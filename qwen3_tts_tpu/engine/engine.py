@@ -367,7 +367,8 @@ class TTSEngine:
             # covers both the KV-limit clamp above and the largest-bucket
             # (256) cap inside _bucket — never truncate silently
             print(f"warning: text truncated to {b} of {n} tokens "
-                  f"(max_seq_len={self.cfg.talker.max_seq_len})",
+                  f"(max_seq_len={self.cfg.talker.max_seq_len}); use "
+                  f"synthesize_long / --long for paragraph-length text",
                   file=sys.stderr)
         padded = np.zeros((b,), np.int32)
         padded[:n] = ids[:b]
@@ -720,6 +721,80 @@ class TTSEngine:
                     rtf=(timer.total() / dur) if dur > 0 else float("inf"),
                 ))
         return results
+
+    def synthesize_long(self, text: str, language: str = "russian",
+                        seed: int = 0, output: Optional[str] = None,
+                        max_batch: int = 4, on_chunk=None):
+        """Paragraph-length synthesis. One request is bounded by
+        ``cfg.max_tokens`` codec tokens (the reference's MAX_TOKENS cap,
+        llamacpp_talker_server.py:65 — its client simply truncates long
+        text). Here the text splits into sentence-sized pieces
+        (utils/text.split_sentences) and up to ``max_batch`` sentences
+        decode together in ONE batched fused program per group
+        (synthesize_batch), so a paragraph synthesizes at roughly the
+        per-sentence latency times ceil(n_sentences / max_batch) — a
+        capability the single-request reference has no analog of.
+
+        ``on_chunk(audio_int16)`` fires per finished sentence, in order.
+        Returns one SynthesisResult with the stitched audio and stacked
+        codes."""
+        from qwen3_tts_tpu.utils.text import split_sentences
+
+        if language not in SUPPORTED_LANGUAGES:
+            raise ValueError(
+                f"unsupported language {language!r}; expected one of "
+                f"{SUPPORTED_LANGUAGES}")
+        # bound each piece so per-request truncation never engages:
+        # EOS pacing forces a stop at 6*n_text+1 codec tokens, so
+        # n_text <= max_tokens/6 guarantees an un-truncated decode even
+        # in the worst pacing case (byte fallback: ~1 token per char)
+        max_chars = max(16, self.cfg.max_tokens // 6)
+        pieces = split_sentences(text, max_chars=max_chars)
+        if len(pieces) <= 1:
+            res = self.synthesize(text, language=language, seed=seed,
+                                  output=output)
+            if on_chunk is not None and len(res.audio_int16) > 0:
+                on_chunk(res.audio_int16)
+            return res
+
+        t_start = time.perf_counter()
+        first_audio_t: Optional[float] = None
+        audio_parts: List[np.ndarray] = []
+        codes_parts: List[np.ndarray] = []
+        for g in range(0, len(pieces), max_batch):
+            group = pieces[g:g + max_batch]
+            if len(group) == 1:
+                rs = [self.synthesize(group[0], language=language,
+                                      seed=seed + g)]
+            else:
+                # distinct seeds per group: duplicate sentences across
+                # groups should not produce identical prosody
+                rs = self.synthesize_batch(
+                    group, [language] * len(group), seed=seed + g)
+            for r in rs:
+                codes_parts.append(r.codes)
+                audio_parts.append(r.audio_int16)
+                if first_audio_t is None and len(r.audio_int16) > 0:
+                    first_audio_t = time.perf_counter() - t_start
+                if on_chunk is not None and len(r.audio_int16) > 0:
+                    on_chunk(r.audio_int16)
+
+        audio_i16 = (np.concatenate(audio_parts) if audio_parts
+                     else np.zeros((0,), np.int16))
+        codes = (np.concatenate(codes_parts) if codes_parts
+                 else np.zeros((0, 16), np.int32))
+        total = time.perf_counter() - t_start
+        dur = len(audio_i16) / SAMPLE_RATE
+        result = SynthesisResult(
+            audio_int16=audio_i16, codes=codes, n_tokens=int(len(codes)),
+            timings={"total": total},
+            total_seconds=total,
+            rtf=(total / dur) if dur > 0 else float("inf"),
+            first_audio_seconds=first_audio_t,
+        )
+        if output is not None and len(audio_i16) > 0:
+            wav_io.write_wav(output, audio_i16)
+        return result
 
     @property
     def _batch_prefill(self):

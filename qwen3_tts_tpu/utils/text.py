@@ -1,0 +1,67 @@
+"""Sentence segmentation for long-text synthesis.
+
+The decode loop bounds one request at ``max_tokens`` codec tokens
+(cfg default 200 — the reference's MAX_TOKENS cap,
+llamacpp_talker_server.py:65) and EOS pacing expects ~3 codec tokens per
+text token, so one request comfortably covers a sentence, not a
+paragraph. ``split_sentences`` turns a paragraph into sentence-sized
+pieces that ``TTSEngine.synthesize_long`` batches through the decoder —
+a capability the single-request reference has no analog of.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# sentence enders: ASCII + CJK full stops / question / exclamation,
+# ellipsis; keep the delimiter attached to its sentence
+_SENT_RE = re.compile(r"[^.!?。！？…]+[.!?。！？…]+[\"'»”’)]*|[^.!?。！？…]+$")
+
+
+def split_sentences(text: str, max_chars: int = 0) -> List[str]:
+    """Split ``text`` into sentences (delimiters kept). Newlines are
+    hard boundaries. With ``max_chars`` > 0, any sentence longer than
+    that is further split on comma/semicolon groups, then on whitespace,
+    so every returned piece fits a bounded decode budget."""
+    pieces: List[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        for m in _SENT_RE.finditer(line):
+            s = m.group(0).strip()
+            if s:
+                pieces.append(s)
+    if max_chars and max_chars > 0:
+        out: List[str] = []
+        for s in pieces:
+            out.extend(_bounded(s, max_chars))
+        pieces = out
+    return pieces
+
+
+def _bounded(s: str, max_chars: int) -> List[str]:
+    if len(s) <= max_chars:
+        return [s]
+    # prefer clause boundaries, then whitespace
+    for sep_re in (re.compile(r"(?<=[,;:、，；])\s*"), re.compile(r"\s+")):
+        parts = [p for p in sep_re.split(s) if p]
+        if len(parts) > 1:
+            out: List[str] = []
+            cur = ""
+            for p in parts:
+                cand = (cur + " " + p).strip() if cur else p
+                if len(cand) <= max_chars:
+                    cur = cand
+                else:
+                    if cur:
+                        out.append(cur)
+                    cur = p
+            if cur:
+                out.append(cur)
+            if all(len(p) <= max_chars for p in out):
+                return out
+            return [q for p in out for q in _bounded(p, max_chars)]
+    # no split point at all: hard cut
+    return [s[i:i + max_chars] for i in range(0, len(s), max_chars)]

@@ -1,0 +1,82 @@
+"""Long-text synthesis: sentence segmentation + batched stitching
+(utils/text.py, TTSEngine.synthesize_long). The reference truncates
+long text to one bounded request (MAX_TOKENS=200,
+llamacpp_talker_server.py:65); here paragraphs split into sentences and
+decode in batched groups."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.config import tiny_tts_config
+from qwen3_tts_tpu.engine.engine import TTSEngine
+from qwen3_tts_tpu.utils.text import split_sentences
+
+
+def test_split_keeps_delimiters_and_order():
+    s = split_sentences("Привет, мир! Как дела? Хорошо. Да")
+    assert s == ["Привет, мир!", "Как дела?", "Хорошо.", "Да"]
+
+
+def test_split_cjk_and_ellipsis():
+    s = split_sentences("你好。天气很好!Ну что ж… продолжим.")
+    assert s[0] == "你好。"
+    assert s[-1] == "продолжим."
+    assert any(p.endswith("…") for p in s)
+
+
+def test_split_newlines_are_hard_boundaries():
+    s = split_sentences("первая строка без точки\nвторая строка")
+    assert s == ["первая строка без точки", "вторая строка"]
+
+
+def test_split_bounded_pieces():
+    long_sentence = ("очень " * 30 + "длинное предложение, "
+                     + "с запятой, " * 10 + "и точкой в конце.")
+    pieces = split_sentences(long_sentence, max_chars=48)
+    assert len(pieces) > 1
+    assert all(len(p) <= 48 for p in pieces)
+    # nothing lost: the concatenation covers every non-space char
+    assert ("".join(pieces)).replace(" ", "") == \
+        long_sentence.replace(" ", "")
+
+
+def test_split_hard_cut_unbreakable_run():
+    pieces = split_sentences("x" * 100, max_chars=32)
+    assert all(len(p) <= 32 for p in pieces)
+    assert "".join(pieces) == "x" * 100
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return TTSEngine(tiny_tts_config(max_tokens=8), model_dir=None,
+                     dtype=jnp.float32)
+
+
+def test_synthesize_long_stitches_in_order(engine):
+    text = "Раз два три. Четыре пять! Шесть семь? Восемь девять."
+    chunks = []
+    res = engine.synthesize_long(text, language="russian", seed=5,
+                                 max_batch=2, on_chunk=chunks.append)
+    assert res.n_tokens > 0
+    assert len(res.audio_int16) == res.n_tokens * 1920
+    assert res.codes.shape == (res.n_tokens, 16)
+    # on_chunk emissions concatenate to the full audio, in order
+    np.testing.assert_array_equal(np.concatenate(chunks), res.audio_int16)
+    assert len(chunks) == len(split_sentences(text))
+    # deterministic for a fixed seed
+    res2 = engine.synthesize_long(text, language="russian", seed=5,
+                                  max_batch=2)
+    np.testing.assert_array_equal(res.audio_int16, res2.audio_int16)
+
+
+def test_synthesize_long_single_sentence_passthrough(engine):
+    res_long = engine.synthesize_long("Одна фраза", language="russian",
+                                      seed=3)
+    res = engine.synthesize("Одна фраза", language="russian", seed=3)
+    np.testing.assert_array_equal(res_long.audio_int16, res.audio_int16)
+
+
+def test_synthesize_long_rejects_bad_language(engine):
+    with pytest.raises(ValueError, match="unsupported language"):
+        engine.synthesize_long("Текст. Ещё текст.", language="klingon")

@@ -171,9 +171,11 @@ class TTSEngine:
         # bucket(budget_cap+1)) — no intermediate host fetch. The decode
         # program completes first, so the (n, codes) round trip then
         # overlaps the vocoder's device execution instead of serializing
-        # ahead of its dispatch. The audio d2h is a bucket(n+1)-sized
-        # device slice (transferring the full W window measured +45
-        # ms/request through the tunnel). Causality over the zero rows
+        # ahead of its dispatch. The audio d2h fetches the full static-W
+        # window via copy_to_host_async in one burst with the n/codes
+        # transfers (a device-side bucket(n+1) slice measured FASTER when
+        # fetches were sequential, but loses to the overlapped burst,
+        # which needs no slice dispatch). Causality over the zero rows
         # past n makes audio[:n] identical to a separately-sized bucketed
         # decode. A fully-fused single-program variant (vocoder inside
         # the decode jit) was measured SLOWER in a same-window A/B
@@ -701,17 +703,34 @@ class TTSEngine:
             state = self._batch_prefill(tp, jnp.asarray(ids_np),
                                         jnp.asarray(n_text_np), key)
             state = self._decode_pipelined(tp, cpp, state)
+            state.n_codes.copy_to_host_async()
+            state.codes.copy_to_host_async()
             n_codes = np.asarray(jax.device_get(state.n_codes))
             codes_all = np.asarray(jax.device_get(state.codes))
 
         results = []
         with timer.stage("vocoder"):
+            # chain-dispatch every row's bucketed window on the DEVICE
+            # codes, then drain the fetches as one overlapped burst (the
+            # batcher-harvest pattern) instead of decode+fetch per row
+            futs: Dict[int, object] = {}
+            for i in range(B):
+                n = int(n_codes[i])
+                if 0 < n <= 256:
+                    futs[i] = self._voc_pad(vp, state.codes[i:i + 1],
+                                            W=voc.voc_bucket(n + 1))
+            for f in futs.values():
+                f.copy_to_host_async()
             for i in range(B):
                 n = int(n_codes[i])
                 codes_np = codes_all[i][:n]
-                audio = voc.synthesize_exact(
-                    lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
-                    codes_np)
+                if i in futs:
+                    audio = np.asarray(
+                        jax.device_get(futs[i]))[0][:n * SAMPLES_PER_TOKEN]
+                else:  # n == 0 or > 256 tokens: conv-exact chunked path
+                    audio = voc.synthesize_exact(
+                        lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
+                        codes_np)
                 audio_i16 = voc.to_int16(audio)
                 dur = len(audio_i16) / SAMPLE_RATE
                 results.append(SynthesisResult(

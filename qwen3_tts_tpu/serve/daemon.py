@@ -9,11 +9,15 @@ with a pure-Python fallback.
 Protocol (little-endian, framing in the style of the reference's
 talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
-                            "max_tokens"?, "prompt_dir"?, "stream"?}]
+                            "max_tokens"?, "prompt_dir"?, "stream"?,
+                            "long"?}]
   (prompt_dir — voice cloning — is engine-mode only; batched mode
   returns an error for it rather than silently ignoring it.
   max_tokens: per-request generation cap, clamped to the engine's
-  compiled maximum.)
+  compiled maximum. long: paragraph mode — the text splits into
+  sentences; engine mode batches them through synthesize_long, batched
+  mode submits each sentence as its own slot so they decode
+  concurrently; stream mode emits one frame per finished sentence.)
 
   blob response (default):
     [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens", "rtf",
@@ -172,14 +176,21 @@ class TTSDaemon:
                     send_frame if msg.get("stream") else None)
             if msg.get("stream") and send_frame is not None:
                 return self._handle_stream(msg, text, mt, send_frame)
-            res = self.engine.synthesize(
-                text,
-                language=msg.get("language", "russian"),
-                streaming=bool(msg.get("streaming", False)),
-                seed=int(msg.get("seed", 0)),
-                prompt_dir=msg.get("prompt_dir"),
-                max_tokens=mt,
-            )
+            if msg.get("long"):
+                res = self.engine.synthesize_long(
+                    text,
+                    language=msg.get("language", "russian"),
+                    seed=int(msg.get("seed", 0)),
+                )
+            else:
+                res = self.engine.synthesize(
+                    text,
+                    language=msg.get("language", "russian"),
+                    streaming=bool(msg.get("streaming", False)),
+                    seed=int(msg.get("seed", 0)),
+                    prompt_dir=msg.get("prompt_dir"),
+                    max_tokens=mt,
+                )
             header = {
                 "n_samples": int(len(res.audio_int16)),
                 "n_tokens": int(res.n_tokens),
@@ -206,15 +217,24 @@ class TTSDaemon:
             idx += 1
 
         try:
-            res = self.engine.synthesize(
-                text,
-                language=msg.get("language", "russian"),
-                streaming=True,
-                seed=int(msg.get("seed", 0)),
-                prompt_dir=msg.get("prompt_dir"),
-                max_tokens=mt,
-                on_chunk=on_chunk,
-            )
+            if msg.get("long"):
+                # paragraph mode: one frame per finished sentence
+                res = self.engine.synthesize_long(
+                    text,
+                    language=msg.get("language", "russian"),
+                    seed=int(msg.get("seed", 0)),
+                    on_chunk=on_chunk,
+                )
+            else:
+                res = self.engine.synthesize(
+                    text,
+                    language=msg.get("language", "russian"),
+                    streaming=True,
+                    seed=int(msg.get("seed", 0)),
+                    prompt_dir=msg.get("prompt_dir"),
+                    max_tokens=mt,
+                    on_chunk=on_chunk,
+                )
             send_frame(encode_response({
                 "done": True,
                 "n_samples": int(len(res.audio_int16)),
@@ -268,6 +288,8 @@ class TTSDaemon:
                 send_frame(encode_response({"done": True, **hdr}, None))
                 return None
             return encode_response(hdr, None)
+        if msg.get("long"):
+            return self._handle_batched_long(msg, text, send_frame)
         t0 = _time.perf_counter()
         first_audio = [None]
         on_chunk = None
@@ -339,6 +361,69 @@ class TTSDaemon:
         if send_frame is not None:
             send_frame(encode_response(
                 {"done": True, "first_audio_seconds": first_audio[0],
+                 **header}, None))
+            return None
+        return encode_response(header, audio_i16)
+
+    def _handle_batched_long(self, msg, text: str,
+                             send_frame=None) -> Optional[bytes]:
+        """Paragraph request in batched mode: the sentences submit as
+        individual batcher requests and decode CONCURRENTLY (sharing the
+        decode batch with each other and any other live requests); the
+        results stitch in sentence order. In stream mode each finished
+        sentence leaves as one frame."""
+        import time as _time
+
+        from qwen3_tts_tpu.models import vocoder as _voc
+        from qwen3_tts_tpu.utils.text import split_sentences
+
+        t0 = _time.perf_counter()
+        seed = int(msg.get("seed", 0))
+        max_chars = max(16, self.engine.cfg.max_tokens // 6)
+        pieces = split_sentences(text, max_chars=max_chars) or [text]
+        futs = []
+        for i, p in enumerate(pieces):
+            ids, n = self.engine._encode_text(p)
+            futs.append(self.batcher.submit(np.asarray(ids), int(n),
+                                            seed=seed + i))
+        parts_codes, parts_audio = [], []
+        first_audio = None
+        idx = 0
+        try:
+            for f in futs:
+                codes, audio = f.result(timeout=600)
+                a16 = _voc.to_int16(audio)
+                if first_audio is None and len(a16) > 0:
+                    first_audio = _time.perf_counter() - t0
+                parts_codes.append(codes)
+                parts_audio.append(a16)
+                if send_frame is not None and len(a16) > 0:
+                    send_frame(encode_response(
+                        {"chunk": idx, "n_samples": int(len(a16))}, a16))
+                    idx += 1
+        except Exception as e:
+            self.stats.record_error()
+            if send_frame is not None:
+                send_frame(encode_response({"done": True,
+                                            "error": str(e)}, None))
+                return None
+            return encode_response({"error": str(e)}, None)
+        audio_i16 = (np.concatenate(parts_audio) if parts_audio
+                     else np.zeros(0, np.int16))
+        n_tokens = int(sum(len(c) for c in parts_codes))
+        total = _time.perf_counter() - t0
+        dur = len(audio_i16) / 24000.0
+        header = {
+            "n_samples": int(len(audio_i16)),
+            "n_tokens": n_tokens,
+            "n_sentences": len(pieces),
+            "rtf": (total / dur) if dur > 0 else float("inf"),
+            "total_seconds": total,
+        }
+        self.stats.record(n_tokens, total, header["rtf"], first_audio)
+        if send_frame is not None:
+            send_frame(encode_response(
+                {"done": True, "first_audio_seconds": first_audio,
                  **header}, None))
             return None
         return encode_response(header, audio_i16)
@@ -448,7 +533,8 @@ class DaemonClient:
     def synthesize(self, text: str, language: str = "russian",
                    streaming: bool = False, seed: int = 0,
                    prompt_dir=None, max_tokens=None,
-                   stream: bool = False, on_chunk=None):
+                   stream: bool = False, on_chunk=None,
+                   long: bool = False):
         """``stream=True`` requests chunked response framing: audio frames
         arrive as the daemon renders them (``on_chunk(header, audio)`` per
         frame); returns the final stats header and the concatenated audio
@@ -460,6 +546,8 @@ class DaemonClient:
             req["max_tokens"] = int(max_tokens)
         if stream:
             req["stream"] = True
+        if long:
+            req["long"] = True
         msg = json.dumps(req).encode()
         c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         # the daemon may still be binding (or briefly backlogged) right

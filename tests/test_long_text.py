@@ -80,3 +80,66 @@ def test_synthesize_long_single_sentence_passthrough(engine):
 def test_synthesize_long_rejects_bad_language(engine):
     with pytest.raises(ValueError, match="unsupported language"):
         engine.synthesize_long("Текст. Ещё текст.", language="klingon")
+
+
+def test_daemon_long_engine_and_batched(engine, tmp_path):
+    """"long": true over the wire — engine mode (synthesize_long) and
+    batched mode (sentences decode concurrently as individual slots);
+    stream mode emits one frame per finished sentence, in order."""
+    import os
+    import threading
+    import time
+
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+    from qwen3_tts_tpu.serve.daemon import DaemonClient, TTSDaemon
+
+    text = "Раз два. Три четыре! Пять шесть?"
+    n_sent = len(split_sentences(text))
+
+    # engine mode
+    sock = str(tmp_path / "tts_long_e.sock")
+    d = TTSDaemon(engine, sock)
+    t = threading.Thread(target=d.serve, kwargs={"native_loop": False},
+                         daemon=True)
+    t.start()
+    while not os.path.exists(sock):
+        time.sleep(0.05)
+    try:
+        cl = DaemonClient(sock)
+        hdr, audio = cl.synthesize(text, language="russian", seed=7,
+                                   long=True)
+        ref = engine.synthesize_long(text, language="russian", seed=7)
+        np.testing.assert_array_equal(audio, ref.audio_int16)
+        assert hdr["n_tokens"] == ref.n_tokens
+        # stream mode: one frame per sentence
+        frames = []
+        hdr_s, audio_s = cl.synthesize(text, language="russian", seed=7,
+                                       long=True, stream=True,
+                                       on_chunk=lambda h, a: frames.append(a))
+        np.testing.assert_array_equal(audio_s, ref.audio_int16)
+        assert len([f for f in frames if len(f)]) == n_sent
+    finally:
+        d.stop()
+        t.join(timeout=10)
+
+    # batched mode: sentences share the decode batch
+    sock_b = str(tmp_path / "tts_long_b.sock")
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    db = TTSDaemon(engine, sock_b, batcher=batcher)
+    tb = threading.Thread(target=db.serve, daemon=True)
+    tb.start()
+    while not os.path.exists(sock_b):
+        time.sleep(0.05)
+    try:
+        cl = DaemonClient(sock_b)
+        hdr_b, audio_b = cl.synthesize(text, language="russian", seed=7,
+                                       long=True)
+        assert hdr_b["n_sentences"] == n_sent
+        assert hdr_b["n_tokens"] > 0
+        assert len(audio_b) == hdr_b["n_samples"] == hdr_b["n_tokens"] * 1920
+        s = cl.stats()
+        assert s["requests"] >= 1
+    finally:
+        db.stop()
+        tb.join(timeout=10)

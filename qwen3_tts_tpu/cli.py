@@ -94,8 +94,13 @@ def main(argv=None) -> int:
                        seed=args.seed, quantize=args.quantize)
     with device_trace(args.profile):
         if args.long:
+            if args.streaming:
+                print("note: --long emits audio per finished sentence; "
+                      "--streaming's intra-sentence head schedule does "
+                      "not apply")
             res = engine.synthesize_long(text, language=args.language,
-                                         output=args.output, seed=args.seed)
+                                         output=args.output, seed=args.seed,
+                                         prompt_dir=args.prompt_dir)
         else:
             res = engine.synthesize(text, language=args.language,
                                     output=args.output,

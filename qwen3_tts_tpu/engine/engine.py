@@ -668,11 +668,13 @@ class TTSEngine:
             wav_io.write_wav(output, audio_i16)
         return result
 
-    def synthesize_batch(self, texts, languages=None, seed: int = 0):
+    def synthesize_batch(self, texts, languages=None, seed: int = 0,
+                         max_tokens: Optional[int] = None):
         """Batched multi-request decode: all texts run in ONE batched fused
         loop (the multi-language batch config in BASELINE.json — e.g. one
         sentence per supported language in a single program), then the
-        vocoder renders each stream.
+        vocoder renders each stream. ``max_tokens`` caps every element's
+        decode (runtime scalar — no recompile).
 
         Returns a list of SynthesisResult (shared timing fields).
         """
@@ -702,7 +704,10 @@ class TTSEngine:
             key = jax.random.split(jax.random.PRNGKey(seed), B)
             state = self._batch_prefill(tp, jnp.asarray(ids_np),
                                         jnp.asarray(n_text_np), key)
-            state = self._decode_pipelined(tp, cpp, state)
+            state = self._decode_pipelined(
+                tp, cpp, state,
+                budget=(min(int(max_tokens), self.cfg.max_tokens)
+                        if max_tokens is not None else None))
             state.n_codes.copy_to_host_async()
             state.codes.copy_to_host_async()
             n_codes = np.asarray(jax.device_get(state.n_codes))
@@ -743,7 +748,9 @@ class TTSEngine:
 
     def synthesize_long(self, text: str, language: str = "russian",
                         seed: int = 0, output: Optional[str] = None,
-                        max_batch: int = 4, on_chunk=None):
+                        max_batch: int = 4, on_chunk=None,
+                        prompt_dir: Optional[str] = None,
+                        max_tokens: Optional[int] = None):
         """Paragraph-length synthesis. One request is bounded by
         ``cfg.max_tokens`` codec tokens (the reference's MAX_TOKENS cap,
         llamacpp_talker_server.py:65 — its client simply truncates long
@@ -755,23 +762,34 @@ class TTSEngine:
         capability the single-request reference has no analog of.
 
         ``on_chunk(audio_int16)`` fires per finished sentence, in order.
-        Returns one SynthesisResult with the stitched audio and stacked
-        codes."""
-        from qwen3_tts_tpu.utils.text import split_sentences
+        ``prompt_dir`` (voice cloning) applies to every piece — pieces
+        then synthesize solo, since the batched prefill has no prompt
+        path. ``max_tokens`` caps each piece's decode (and tightens the
+        split budget accordingly). Returns one SynthesisResult with the
+        stitched audio and stacked codes."""
+        from qwen3_tts_tpu.utils.text import split_for_budget
 
         if language not in SUPPORTED_LANGUAGES:
             raise ValueError(
                 f"unsupported language {language!r}; expected one of "
                 f"{SUPPORTED_LANGUAGES}")
-        # bound each piece so per-request truncation never engages:
-        # EOS pacing forces a stop at 6*n_text+1 codec tokens, so
-        # n_text <= max_tokens/6 guarantees an un-truncated decode even
-        # in the worst pacing case (byte fallback: ~1 token per char)
-        max_chars = max(16, self.cfg.max_tokens // 6)
-        pieces = split_sentences(text, max_chars=max_chars)
+        # bound each piece by its ENCODED token count so per-request
+        # truncation never engages: EOS pacing forces a stop at
+        # 6*n_text+1 codec tokens, so n_text <= (cap-1)/6 guarantees an
+        # un-truncated decode. Measured with the production tokenizer —
+        # a char bound both over-splits BPE text (~0.4 tokens/char) and
+        # under-splits multi-byte scripts under byte fallback
+        cap = (min(int(max_tokens), self.cfg.max_tokens)
+               if max_tokens is not None else self.cfg.max_tokens)
+        budget = max(2, (cap - 1) // 6)
+        pieces = split_for_budget(
+            text, lambda s: len(
+                self.tokenizer.encode(s, add_special_tokens=False)),
+            budget)
         if len(pieces) <= 1:
             res = self.synthesize(text, language=language, seed=seed,
-                                  output=output)
+                                  output=output, prompt_dir=prompt_dir,
+                                  max_tokens=max_tokens)
             if on_chunk is not None and len(res.audio_int16) > 0:
                 on_chunk(res.audio_int16)
             return res
@@ -782,14 +800,21 @@ class TTSEngine:
         codes_parts: List[np.ndarray] = []
         for g in range(0, len(pieces), max_batch):
             group = pieces[g:g + max_batch]
-            if len(group) == 1:
+            if prompt_dir is not None:
+                # voice-cloned prefix rides the solo prefill only
+                rs = [self.synthesize(p, language=language, seed=seed + g + j,
+                                      prompt_dir=prompt_dir,
+                                      max_tokens=max_tokens)
+                      for j, p in enumerate(group)]
+            elif len(group) == 1:
                 rs = [self.synthesize(group[0], language=language,
-                                      seed=seed + g)]
+                                      seed=seed + g, max_tokens=max_tokens)]
             else:
                 # distinct seeds per group: duplicate sentences across
                 # groups should not produce identical prosody
                 rs = self.synthesize_batch(
-                    group, [language] * len(group), seed=seed + g)
+                    group, [language] * len(group), seed=seed + g,
+                    max_tokens=max_tokens)
             for r in rs:
                 codes_parts.append(r.codes)
                 audio_parts.append(r.audio_int16)

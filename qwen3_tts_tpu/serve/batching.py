@@ -287,6 +287,8 @@ class ContinuousBatcher:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._draining = False
+        self._closed = False
+        self._submit_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
 
         def _prefill_fn(pcfg):
@@ -303,6 +305,10 @@ class ContinuousBatcher:
         self._prefill_cache: Dict[int, object] = {}
         self._backlog: List[_Request] = []
         self._insert = jax.jit(_insert_slot)
+        # stop(): force abandoned mid-decode slots to done so a restarted
+        # batcher sees them as free (admission fully overwrites slot state)
+        self._mark_done = jax.jit(
+            lambda s, m: s._replace(done=jnp.logical_or(s.done, m)))
 
         def _run_fn(tp, cpp, s):
             if self._state_shardings is not None:
@@ -348,7 +354,15 @@ class ContinuousBatcher:
         req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
                        seed, max_tokens, on_chunk)
         req.future.request = req  # expose timing to callers (bench/metrics)
-        self._queue.put(req)
+        # the lock closes the submit-vs-stop race: either the request
+        # lands in the queue BEFORE stop() drains it (and is failed
+        # there), or it observes _closed and fails here — never a
+        # forever-pending Future on a dead scheduler
+        with self._submit_lock:
+            if self._closed:
+                req.future.set_exception(RuntimeError("batcher stopped"))
+                return req.future
+            self._queue.put(req)
         return req.future
 
     def occupancy(self) -> dict:
@@ -366,6 +380,11 @@ class ContinuousBatcher:
         return snap
 
     def start(self) -> None:
+        if self._closed and self._thread is not None:
+            raise RuntimeError(
+                "batcher scheduler thread from a previous stop() is still "
+                "alive; cannot restart")
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -375,7 +394,11 @@ class ContinuousBatcher:
         ``timeout``); anything still unfinished after the scheduler halts
         — queued, backlogged, or mid-decode — fails with a RuntimeError
         instead of leaving its Future pending forever (a client blocked
-        on a dead scheduler would otherwise hang to its own timeout)."""
+        on a dead scheduler would otherwise hang to its own timeout).
+        A cleanly-stopped batcher can ``start()`` again (abandoned
+        mid-decode slots are marked done on device so admission can
+        recycle them); a stop that could not join the scheduler thread
+        is not restartable."""
         if drain and self._thread is not None and self._thread.is_alive():
             self._draining = True
             deadline = time.monotonic() + timeout
@@ -383,19 +406,44 @@ class ContinuousBatcher:
                    and time.monotonic() < deadline):
                 time.sleep(0.01)
         self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=10)
-        leftovers = [r for r in self._slot_req if r is not None]
+        joined = True
+        if self._thread is not None:
+            self._thread.join(timeout=max(timeout, 10.0))
+            joined = not self._thread.is_alive()
+        with self._submit_lock:
+            self._closed = True
+            leftovers = []
+            while True:
+                try:
+                    leftovers.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
         leftovers += self._backlog
         self._backlog = []
-        while True:
-            try:
-                leftovers.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
+        if not joined:
+            # the scheduler thread is wedged inside a device call (e.g. a
+            # minutes-long first compile): it still owns the slots and
+            # device state, so touching them here would race it — fail
+            # only the queued work and leave the stop signal set; the
+            # thread exits at its next loop check. Not restartable.
+            for r in leftovers:
+                if not r.future.done():
+                    r.future.set_exception(RuntimeError("batcher stopped"))
+            return
+        leftovers += [r for r in self._slot_req if r is not None]
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("batcher stopped"))
+        abandoned = [s for s in range(self.batch_size)
+                     if self._slot_req[s] is not None]
+        if abandoned:
+            # a non-drained stop leaves device done=False on these slots;
+            # without this a restarted batcher would never see them as
+            # free (and, with every slot abandoned, never call _run) —
+            # mark them done so admission can recycle them
+            mask = np.zeros((self.batch_size,), bool)
+            mask[abandoned] = True
+            self._state = self._mark_done(self._state, jnp.asarray(mask))
         if self.paged:
             # abandoned in-flight slots must return their pages (their
             # zeroed table rows alias reserved page 0, which is never
@@ -407,12 +455,13 @@ class ContinuousBatcher:
                         self._slot_pages[slot])
                     self._slot_pages[slot] = []
         self._slot_req = [None] * self.batch_size
-        # leave the scheduler restartable: a stopped batcher can start()
-        # again (slot state was reset above; decode state is idempotent —
-        # done slots are recycled on admission)
         self._draining = False
         self._stop.clear()
         self._thread = None
+        # clean stop: back to the pre-start state — submits queue again
+        # (served by a future start() or manual step() driving)
+        with self._submit_lock:
+            self._closed = False
 
     # -- scheduler ----------------------------------------------------------
 

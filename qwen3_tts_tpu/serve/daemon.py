@@ -49,6 +49,7 @@ from typing import Optional
 
 import numpy as np
 
+from qwen3_tts_tpu.config import SAMPLE_RATE, SAMPLES_PER_TOKEN
 from qwen3_tts_tpu.engine.engine import TTSEngine
 
 DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
@@ -81,7 +82,7 @@ class ServingStats:
         with self._lock:
             self.requests += 1
             self.tokens += int(n_tokens)
-            self.audio_seconds += n_tokens * 1920 / 24000.0
+            self.audio_seconds += n_tokens * SAMPLES_PER_TOKEN / SAMPLE_RATE
             self._total_s.append(float(total_seconds))
             if rtf == rtf and rtf != float("inf"):  # skip NaN/inf (0-token)
                 self._rtf.append(float(rtf))
@@ -177,10 +178,14 @@ class TTSDaemon:
             if msg.get("stream") and send_frame is not None:
                 return self._handle_stream(msg, text, mt, send_frame)
             if msg.get("long"):
+                # prompt_dir and max_tokens apply per piece — never
+                # silently dropped (the batched-mode protocol policy)
                 res = self.engine.synthesize_long(
                     text,
                     language=msg.get("language", "russian"),
                     seed=int(msg.get("seed", 0)),
+                    prompt_dir=msg.get("prompt_dir"),
+                    max_tokens=mt,
                 )
             else:
                 res = self.engine.synthesize(
@@ -224,6 +229,8 @@ class TTSDaemon:
                     language=msg.get("language", "russian"),
                     seed=int(msg.get("seed", 0)),
                     on_chunk=on_chunk,
+                    prompt_dir=msg.get("prompt_dir"),
+                    max_tokens=mt,
                 )
             else:
                 res = self.engine.synthesize(
@@ -289,7 +296,7 @@ class TTSDaemon:
                 return None
             return encode_response(hdr, None)
         if msg.get("long"):
-            return self._handle_batched_long(msg, text, send_frame)
+            return self._handle_batched_long(msg, text, mt, send_frame)
         t0 = _time.perf_counter()
         first_audio = [None]
         on_chunk = None
@@ -339,18 +346,20 @@ class TTSDaemon:
                 _drain(block=False)
             codes, audio = fut.result(timeout=600)
         except Exception as e:
-            self.stats.record_error()
             # streams must ALWAYS terminate with a done-frame (the
             # engine-mode contract, _handle_stream) — a client reading
-            # frames until "done" would otherwise hang
+            # frames until "done" would otherwise hang. Blob mode
+            # re-raises into handle()'s catch-all, which records the
+            # error — recording here too would double-count it
             if send_frame is not None:
+                self.stats.record_error()
                 send_frame(encode_response({"done": True,
                                             "error": str(e)}, None))
                 return None
             raise
         audio_i16 = _voc.to_int16(audio)
         total = _time.perf_counter() - t0
-        dur = len(audio_i16) / 24000.0
+        dur = len(audio_i16) / SAMPLE_RATE
         header = {
             "n_samples": int(len(audio_i16)),
             "n_tokens": int(len(codes)),
@@ -365,7 +374,7 @@ class TTSDaemon:
             return None
         return encode_response(header, audio_i16)
 
-    def _handle_batched_long(self, msg, text: str,
+    def _handle_batched_long(self, msg, text: str, mt=None,
                              send_frame=None) -> Optional[bytes]:
         """Paragraph request in batched mode: the sentences submit as
         individual batcher requests and decode CONCURRENTLY (sharing the
@@ -375,17 +384,25 @@ class TTSDaemon:
         import time as _time
 
         from qwen3_tts_tpu.models import vocoder as _voc
-        from qwen3_tts_tpu.utils.text import split_sentences
+        from qwen3_tts_tpu.utils.text import split_for_budget
 
         t0 = _time.perf_counter()
         seed = int(msg.get("seed", 0))
-        max_chars = max(16, self.engine.cfg.max_tokens // 6)
-        pieces = split_sentences(text, max_chars=max_chars) or [text]
+        # bound pieces by ENCODED token count (the engine's split rule,
+        # engine.synthesize_long) so EOS pacing can never truncate a
+        # piece; max_tokens tightens each piece's budget
+        cap = (min(int(mt), self.engine.cfg.max_tokens)
+               if mt is not None else self.engine.cfg.max_tokens)
+        budget = max(2, (cap - 1) // 6)
+        tok = self.engine.tokenizer
+        pieces = split_for_budget(
+            text, lambda s: len(tok.encode(s, add_special_tokens=False)),
+            budget) or [text]
         futs = []
         for i, p in enumerate(pieces):
             ids, n = self.engine._encode_text(p)
             futs.append(self.batcher.submit(np.asarray(ids), int(n),
-                                            seed=seed + i))
+                                            seed=seed + i, max_tokens=mt))
         parts_codes, parts_audio = [], []
         first_audio = None
         idx = 0
@@ -412,7 +429,7 @@ class TTSDaemon:
                      else np.zeros(0, np.int16))
         n_tokens = int(sum(len(c) for c in parts_codes))
         total = _time.perf_counter() - t0
-        dur = len(audio_i16) / 24000.0
+        dur = len(audio_i16) / SAMPLE_RATE
         header = {
             "n_samples": int(len(audio_i16)),
             "n_tokens": n_tokens,

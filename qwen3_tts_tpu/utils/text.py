@@ -41,6 +41,74 @@ def split_sentences(text: str, max_chars: int = 0) -> List[str]:
     return pieces
 
 
+def split_for_budget(text: str, count_tokens, max_text_tokens: int,
+                     merge: bool = True) -> List[str]:
+    """Split ``text`` so each piece's ENCODED token count
+    (``count_tokens``: str -> int, the production tokenizer) fits
+    ``max_text_tokens``. Measuring in real tokens instead of chars fixes
+    both failure modes of a char bound: BPE text (~0.3-0.5 tokens/char
+    for Russian) is not over-split into prosody-breaking fragments, and
+    multi-byte scripts under byte fallback (several tokens per CHAR)
+    cannot blow past the decode budget and truncate mid-sentence.
+    With ``merge`` (default), adjacent sentences re-pack greedily while
+    the merged encoding stays within budget — fewer seams, fewer
+    requests."""
+    pieces: List[str] = []
+    for s in split_sentences(text):
+        pieces.extend(_bounded_tokens(s, count_tokens, max_text_tokens))
+    if not merge:
+        return pieces
+    out: List[str] = []
+    for p in pieces:
+        if out:
+            cand = out[-1] + " " + p
+            if count_tokens(cand) <= max_text_tokens:
+                out[-1] = cand
+                continue
+        out.append(p)
+    return out
+
+
+def _bounded_tokens(s: str, count, budget: int) -> List[str]:
+    if count(s) <= budget:
+        return [s]
+    for sep_re in (re.compile(r"(?<=[,;:、，；])\s*"), re.compile(r"\s+")):
+        parts = [p for p in sep_re.split(s) if p]
+        if len(parts) > 1:
+            out: List[str] = []
+            cur = ""
+            for p in parts:
+                cand = (cur + " " + p).strip() if cur else p
+                if count(cand) <= budget:
+                    cur = cand
+                else:
+                    if cur:
+                        out.append(cur)
+                    cur = p
+            if cur:
+                out.append(cur)
+            return [q for p in out for q in _bounded_tokens(p, count, budget)]
+    # no split point at all (one giant word): hard-cut at the largest
+    # prefix that still encodes within budget (bisect on char length —
+    # token count is monotone enough in prefix length for a cut point)
+    out = []
+    rest = s
+    while rest:
+        if count(rest) <= budget:
+            out.append(rest)
+            break
+        lo, hi = 1, len(rest) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if count(rest[:mid]) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        out.append(rest[:lo])
+        rest = rest[lo:]
+    return out
+
+
 def _bounded(s: str, max_chars: int) -> List[str]:
     if len(s) <= max_chars:
         return [s]

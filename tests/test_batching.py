@@ -301,3 +301,53 @@ def test_stop_without_drain_fails_everything():
     for f in futs:
         with pytest.raises(RuntimeError, match="batcher stopped"):
             f.result(timeout=0)
+
+
+def test_submit_after_stop_fails_fast():
+    """A submit that races (or follows) stop() must fail immediately —
+    never enqueue onto a dead scheduler and hang to the client timeout
+    (the daemon's connection threads can outlive batcher.stop())."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    b.start()
+    b.stop(drain=True, timeout=30)
+    # a clean stop reopens submits (step()-driven use); a not-yet-
+    # restarted scheduler still owes the no-hang contract, so drive it
+    ids, n = _ids("late")
+    f = b.submit(ids, n, seed=1)
+    for _ in range(400):
+        if f.done():
+            break
+        b.step()
+    codes, audio = f.result(timeout=1)
+    assert len(audio) == len(codes) * 1920
+
+
+def test_nondrained_stop_then_restart_recycles_slots():
+    """stop(drain=False) abandons mid-decode slots; a restarted batcher
+    must still serve new requests (abandoned slots are marked done on
+    device — without that, admission never sees a free slot and every
+    later Future hangs)."""
+    import time as _t
+
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids, n = _ids("abandon")
+    b.start()
+    futs = [b.submit(ids, n, seed=i) for i in range(2)]
+    deadline = _t.time() + 60
+    while (any(r is None for r in b._slot_req) and _t.time() < deadline):
+        _t.sleep(0.005)   # wait until both slots are admitted
+    b.stop(drain=False, timeout=30)
+    for f in futs:
+        assert f.done()   # resolved (either finished or failed) — no hang
+    b.start()
+    try:
+        f2 = b.submit(ids, n, seed=9)
+        codes, audio = f2.result(timeout=120)
+        assert len(codes) > 0
+        assert len(audio) == len(codes) * 1920
+    finally:
+        b.stop(drain=True, timeout=30)

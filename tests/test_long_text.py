@@ -10,7 +10,7 @@ import pytest
 
 from qwen3_tts_tpu.config import tiny_tts_config
 from qwen3_tts_tpu.engine.engine import TTSEngine
-from qwen3_tts_tpu.utils.text import split_sentences
+from qwen3_tts_tpu.utils.text import split_for_budget, split_sentences
 
 
 def test_split_keeps_delimiters_and_order():
@@ -47,6 +47,57 @@ def test_split_hard_cut_unbreakable_run():
     assert "".join(pieces) == "x" * 100
 
 
+def _bpe_like(s: str) -> int:
+    # a realistic BPE rate for Russian/English: ~0.4 tokens per char
+    return max(1, int(len(s) * 0.4))
+
+
+def _byte_count(s: str) -> int:
+    return len(s.encode("utf-8"))
+
+
+def test_budget_split_no_oversplit_normal_sentences():
+    """A normal sentence that fits the token budget stays whole — the
+    char-based bound (max_tokens//6 chars) used to chop every 60-100
+    char sentence into ~33-char fragments."""
+    text = ("Сегодня прекрасная погода, и мы отправились гулять в парк. "
+            "Дети играли на площадке около большого старого дуба.")
+    # default cap 200 -> budget 33 tokens; both sentences are ~45-60
+    # chars -> ~18-24 BPE tokens: each fits, and the pair merges
+    pieces = split_for_budget(text, _bpe_like, 33)
+    assert all(_bpe_like(p) <= 33 for p in pieces)
+    assert len(pieces) <= 2
+    joined = " ".join(pieces)
+    assert joined.replace(" ", "") == text.replace(" ", "")
+
+
+def test_budget_split_merges_short_sentences():
+    text = "Да. Нет. Может быть. Конечно."
+    pieces = split_for_budget(text, _bpe_like, 33)
+    assert len(pieces) == 1   # all four merge within the budget
+    assert split_for_budget(text, _bpe_like, 33, merge=False) == \
+        split_sentences(text)
+
+
+def test_budget_split_multibyte_never_exceeds_budget():
+    """Under byte-fallback tokenization multi-byte scripts encode to
+    SEVERAL tokens per char — a char bound under-splits and the decode
+    truncates mid-sentence. The token bound cannot."""
+    text = "Это очень длинное предложение на кириллице без знаков, " * 4
+    for budget in (12, 33, 64):
+        pieces = split_for_budget(text.strip(), _byte_count, budget)
+        assert all(_byte_count(p) <= budget for p in pieces)
+        assert ("".join(pieces)).replace(" ", "") == \
+            text.strip().replace(" ", "")
+
+
+def test_budget_split_hard_cut_giant_word():
+    word = "щ" * 300   # 600 bytes, no split points
+    pieces = split_for_budget(word, _byte_count, 40)
+    assert all(_byte_count(p) <= 40 for p in pieces)
+    assert "".join(pieces) == word
+
+
 @pytest.fixture(scope="module")
 def engine():
     return TTSEngine(tiny_tts_config(max_tokens=8), model_dir=None,
@@ -63,18 +114,39 @@ def test_synthesize_long_stitches_in_order(engine):
     assert res.codes.shape == (res.n_tokens, 16)
     # on_chunk emissions concatenate to the full audio, in order
     np.testing.assert_array_equal(np.concatenate(chunks), res.audio_int16)
-    assert len(chunks) == len(split_sentences(text))
+    # one emission per split piece (pieces are bounded by ENCODED token
+    # count against the decode budget, so none of the text is silently
+    # dropped by the EOS-pacing cap — with this tiny max_tokens=8 config
+    # that means many small pieces)
+    budget = max(2, (engine.cfg.max_tokens - 1) // 6)
+    exp = split_for_budget(
+        text, lambda s: len(engine.tokenizer.encode(s)), budget)
+    assert len(chunks) == len(exp) > len(split_sentences(text))
     # deterministic for a fixed seed
     res2 = engine.synthesize_long(text, language="russian", seed=5,
                                   max_batch=2)
     np.testing.assert_array_equal(res.audio_int16, res2.audio_int16)
 
 
-def test_synthesize_long_single_sentence_passthrough(engine):
+def test_synthesize_long_single_piece_passthrough(engine):
+    # a text that fits this tiny config's 2-token split budget passes
+    # through to plain synthesize() unchanged (with the default
+    # max_tokens=200 the budget is 33 tokens — a full sentence)
+    res_long = engine.synthesize_long("Я", language="russian", seed=3)
+    res = engine.synthesize("Я", language="russian", seed=3)
+    np.testing.assert_array_equal(res_long.audio_int16, res.audio_int16)
+
+
+def test_synthesize_long_covers_all_text_despite_tiny_cap(engine):
+    """With max_tokens=8 a direct synthesize() of a 19-token text is
+    EOS-pacing-truncated; synthesize_long splits by encoded token count
+    so every piece decodes un-truncated — the stitched audio covers
+    more of the text than the single capped request can."""
     res_long = engine.synthesize_long("Одна фраза", language="russian",
                                       seed=3)
     res = engine.synthesize("Одна фраза", language="russian", seed=3)
-    np.testing.assert_array_equal(res_long.audio_int16, res.audio_int16)
+    assert res.n_tokens <= engine.cfg.max_tokens
+    assert res_long.n_tokens > res.n_tokens
 
 
 def test_synthesize_long_rejects_bad_language(engine):
@@ -94,7 +166,11 @@ def test_daemon_long_engine_and_batched(engine, tmp_path):
     from qwen3_tts_tpu.serve.daemon import DaemonClient, TTSDaemon
 
     text = "Раз два. Три четыре! Пять шесть?"
-    n_sent = len(split_sentences(text))
+    # pieces are bounded by encoded token count against the decode
+    # budget (the daemon mirrors engine.synthesize_long's split rule)
+    budget = max(2, (engine.cfg.max_tokens - 1) // 6)
+    n_sent = len(split_for_budget(
+        text, lambda s: len(engine.tokenizer.encode(s)), budget))
 
     # engine mode
     sock = str(tmp_path / "tts_long_e.sock")

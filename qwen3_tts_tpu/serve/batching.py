@@ -21,6 +21,7 @@ parallel/mesh.gen_state_spec — the scheduler code is mesh-agnostic.
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 import time
 from concurrent.futures import Future
@@ -503,31 +504,61 @@ class ContinuousBatcher:
         from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
 
         admitted = 0
+        exhausted = False
         for slot in self._free_slots(done):
-            req = self._next_request()
-            if req is None:
+            if exhausted:
                 break
-            if self.paged:
-                if not self._admit_paged(slot, req):
-                    self._backlog.append(req)   # pool pressure: retry later
+            while True:
+                req = self._next_request()
+                if req is None:
+                    exhausted = True
                     break
-            else:
-                sub = self._prefill_one(self.params["talker"], req.text_ids,
-                                        req.n_text,
-                                        smp.host_prng_key(req.seed),
-                                        jnp.int32(self._req_budget(req)))
-                self._state = self._insert(self._state, jnp.int32(slot), sub)
-            self._slot_req[slot] = req
-            req.t_admit = time.perf_counter()
-            done[slot] = False
-            pos[slot] = int(req.n_text) + PREFIX_EXTRA
-            admitted += 1
+                # per-request isolation: a malformed request (oversized
+                # prefix, prefill shape error, ...) fails ITS OWN future
+                # and the slot moves on to the next request — it must
+                # never crash the scheduler or wedge the backlog
+                try:
+                    if self.paged:
+                        if not self._admit_paged(slot, req):
+                            # transient pool pressure: retry later, and
+                            # keep FIFO order (don't admit around it)
+                            self._backlog.append(req)
+                            exhausted = True
+                            break
+                    else:
+                        p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
+                        if p_pad > self.cfg.talker.max_seq_len:
+                            raise ValueError(
+                                f"request prefix ({p_pad} rows incl. "
+                                f"{PREFIX_EXTRA} special) exceeds the dense "
+                                f"KV allocation (max_seq_len="
+                                f"{self.cfg.talker.max_seq_len}); shorten "
+                                f"the text or use the paged batcher")
+                        sub = self._prefill_one(
+                            self.params["talker"], req.text_ids,
+                            req.n_text, smp.host_prng_key(req.seed),
+                            jnp.int32(self._req_budget(req)))
+                        self._state = self._insert(self._state,
+                                                   jnp.int32(slot), sub)
+                except Exception as e:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                    continue   # slot is still free: try the next request
+                self._slot_req[slot] = req
+                req.t_admit = time.perf_counter()
+                done[slot] = False
+                pos[slot] = int(req.n_text) + PREFIX_EXTRA
+                admitted += 1
+                break
         return admitted
 
     def _admit_paged(self, slot: int, req: "_Request") -> bool:
         """Allocate pages for the request's prefix (+ one chunk of
         headroom), prefill into a page-sized dense window, splice into the
-        slot. Returns False when the pool can't cover the prefix yet."""
+        slot. Returns False when the pool can't cover the prefix YET
+        (transient — the caller backlogs and retries); raises when the
+        prefix can NEVER fit ``max_pages_per_slot`` (an endless backlog
+        retry would wedge every request queued behind it)."""
         import dataclasses
 
         from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
@@ -535,9 +566,15 @@ class ContinuousBatcher:
         psz = self.page_size
         free = self._free_by_group[self._slot_group(slot)]
         p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
+        if p_pad > self.max_pages_per_slot * psz:
+            raise ValueError(
+                f"request prefix ({p_pad} rows incl. {PREFIX_EXTRA} "
+                f"special) exceeds a slot's page capacity "
+                f"({self.max_pages_per_slot} pages x {psz}); shorten the "
+                f"text or raise max_pages_per_slot/page_size")
         need = -(-(p_pad + self.decode_chunk + 2) // psz)
         need = min(need, self.max_pages_per_slot)
-        if need * psz < p_pad or len(free) < need:
+        if len(free) < need:
             return False
 
         s_pre = -(-p_pad // psz) * psz   # dense prefill window, page-aligned
@@ -769,6 +806,67 @@ class ContinuousBatcher:
         return admitted > 0
 
     def _loop(self) -> None:
+        # an unexpected step() error (device fault, harvest bug) must not
+        # silently kill the scheduler thread — that would leave every
+        # Future pending until its client times out. Fail the in-flight
+        # slots (their device state is suspect), keep queued requests,
+        # and continue; after 3 consecutive failures assume the fault is
+        # persistent, fail everything, and halt.
+        consecutive = 0
         while not self._stop.is_set():
-            if not self.step():
+            try:
+                worked = self.step()
+                consecutive = 0
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                consecutive += 1
+                self._abort_inflight(e, drain_queue=consecutive >= 3)
+                if consecutive >= 3:
+                    print("batcher: 3 consecutive scheduler failures; "
+                          "halting", file=sys.stderr)
+                    return
+                time.sleep(0.05)
+                continue
+            if not worked:
                 time.sleep(0.002)
+
+    def _abort_inflight(self, exc: Exception, drain_queue: bool) -> None:
+        """Self-heal after a scheduler-step failure: fail the in-flight
+        slots' Futures, release their pages, and mark them done on device
+        so admission can recycle them. Queued/backlogged requests survive
+        (the healed scheduler retries them) unless ``drain_queue``."""
+        inflight = [s for s in range(self.batch_size)
+                    if self._slot_req[s] is not None]
+        for s in inflight:
+            r = self._slot_req[s]
+            if not r.future.done():
+                r.future.set_exception(exc)
+            self._slot_req[s] = None
+            if self.paged and self._slot_pages[s]:
+                try:
+                    self._state = self._release(self._state, jnp.int32(s))
+                except Exception:
+                    pass   # device unusable: the halt path handles it
+                self._free_by_group[self._slot_group(s)].extend(
+                    self._slot_pages[s])
+                self._slot_pages[s] = []
+        if inflight:
+            mask = np.zeros((self.batch_size,), bool)
+            mask[inflight] = True
+            try:
+                self._state = self._mark_done(self._state,
+                                              jnp.asarray(mask))
+            except Exception:
+                pass
+        if drain_queue:
+            leftovers = list(self._backlog)
+            self._backlog = []
+            while True:
+                try:
+                    leftovers.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            for r in leftovers:
+                if not r.future.done():
+                    r.future.set_exception(exc)

@@ -324,6 +324,60 @@ def test_submit_after_stop_fails_fast():
     assert len(audio) == len(codes) * 1920
 
 
+def test_oversized_request_fails_without_wedging(batcher):
+    """A request whose prefix exceeds the dense KV allocation must fail
+    ITS OWN Future; requests behind it must still be served (no
+    scheduler crash, no head-of-line wedge)."""
+    too_long = np.arange(TTS.talker.max_seq_len + 8, dtype=np.int32)
+    f_bad = batcher.submit(too_long, len(too_long), seed=1)
+    ids, n = _ids("fine")
+    f_ok = batcher.submit(ids, n, seed=2)
+    for _ in range(400):
+        if f_bad.done() and f_ok.done():
+            break
+        batcher.step()
+    with pytest.raises(ValueError, match="exceeds the dense KV"):
+        f_bad.result(timeout=1)
+    codes, audio = f_ok.result(timeout=1)
+    assert len(audio) == len(codes) * 1920
+
+
+def test_scheduler_survives_step_error(monkeypatch):
+    """An unexpected device/step failure must fail the in-flight Futures
+    and keep the scheduler alive for later requests — never die silently
+    with clients blocked (the _loop self-heal path)."""
+    import time as _t
+
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    real_run = b._run
+    boom = {"armed": True}
+
+    def exploding_run(*a, **kw):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected device fault")
+        return real_run(*a, **kw)
+
+    monkeypatch.setattr(b, "_run", exploding_run)
+    ids, n = _ids("casualty")
+    b.start()
+    try:
+        f_bad = b.submit(ids, n, seed=1)
+        deadline = _t.time() + 60
+        while not f_bad.done() and _t.time() < deadline:
+            _t.sleep(0.01)
+        with pytest.raises(RuntimeError, match="injected device fault"):
+            f_bad.result(timeout=1)
+        # the scheduler healed: a new request completes normally
+        f_ok = b.submit(ids, n, seed=2)
+        codes, audio = f_ok.result(timeout=120)
+        assert len(audio) == len(codes) * 1920
+    finally:
+        b.stop(drain=True, timeout=30)
+
+
 def test_nondrained_stop_then_restart_recycles_slots():
     """stop(drain=False) abandons mid-decode slots; a restarted batcher
     must still serve new requests (abandoned slots are marked done on

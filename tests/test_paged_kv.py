@@ -210,6 +210,27 @@ def test_paged_batcher_on_mesh(long_cfg_params):
         assert sorted(free) == list(range(lo + 1, hi))
 
 
+def test_paged_oversized_prefix_fails_not_wedges(long_cfg_params):
+    """A prefix that can NEVER fit max_pages_per_slot must fail its own
+    Future immediately — the old behavior backlogged it forever, wedging
+    every request queued behind it (head-of-line deadlock)."""
+    cfg, params = long_cfg_params
+    b = _paged_batcher(cfg, params, batch_size=2, decode_chunk=8,
+                       page_size=16, max_pages_per_slot=2)  # cap: 32 rows
+    too_long = np.arange(100, 140, dtype=np.int32)   # 40 + PREFIX_EXTRA
+    f_bad = b.submit(too_long, len(too_long), seed=1)
+    f_ok = b.submit(np.arange(200, 212, dtype=np.int32), 12, seed=2)
+    for _ in range(600):
+        if f_bad.done() and f_ok.done():
+            break
+        b.step()
+    import pytest
+    with pytest.raises(ValueError, match="page capacity"):
+        f_bad.result(timeout=1)
+    codes, audio = f_ok.result(timeout=1)
+    assert len(audio) == len(codes) * 1920
+
+
 def test_paged_pool_exhaustion_degrades_gracefully(long_cfg_params):
     """With a deliberately tiny pool, a long request finishes at its page
     capacity instead of erroring, and the pool is recycled after."""

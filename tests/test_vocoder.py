@@ -142,6 +142,47 @@ def test_chunked_context_lengths():
         assert len(got) == T * SAMPLES_PER_TOKEN
 
 
+def test_synthesize_exact_at_bucket_boundaries():
+    """synthesize_exact must equal a full decode (>= 1 zero-code
+    lookahead token) for every token count — INCLUDING counts that land
+    exactly on a bucket boundary (64/128/256). A round-2 advisor finding:
+    picking bucket == n left the tail ~output_crop samples decoding
+    zero-padding (hard silence); the bucket must be strictly greater."""
+    params = voc.init_vocoder_params(jax.random.PRNGKey(2), CFG)
+    spt = SAMPLES_PER_TOKEN
+
+    def decode_fn(buf):
+        return voc.decode(params, jnp.asarray(buf), CFG)
+
+    rng = np.random.default_rng(7)
+    for T in (1, 63, 64, 65, 128, 255, 256):
+        codes = rng.integers(0, 2048, (T, 16)).astype(np.int32)
+        got = voc.synthesize_exact(decode_fn, codes)
+        assert got.shape == (T * spt,)
+        # reference: decode with explicit zero lookahead, no bucketing
+        ref_buf = np.zeros((1, T + 2, 16), np.int32)
+        ref_buf[0, :T] = codes
+        want = np.asarray(decode_fn(ref_buf))[0][:T * spt]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"T={T}")
+
+
+def test_synthesize_exact_long_fallback_matches_context_chunker():
+    """Past max_single tokens synthesize_exact must route to the
+    conv-exact left-context chunker (not crossfade blending)."""
+    params = voc.init_vocoder_params(jax.random.PRNGKey(2), CFG)
+    codes = np.random.default_rng(8).integers(
+        0, 2048, (40, 16)).astype(np.int32)
+
+    def decode_fn(buf):
+        return voc.decode(params, jnp.asarray(buf), CFG)
+
+    got = voc.synthesize_exact(decode_fn, codes, max_single=32)
+    want = voc.synthesize_chunked_context(decode_fn, codes,
+                                          voc.VOC_CHUNK_SIZE)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int16_clip():
     a = np.array([0.5, -2.0, 2.0], np.float32)
     out = voc.to_int16(a)

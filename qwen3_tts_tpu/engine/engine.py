@@ -107,11 +107,18 @@ class TTSEngine:
             # talker stays bf16 (int8 through XLA dots measured *slower*
             # than bf16 — the converts defeat the bandwidth win).
             from qwen3_tts_tpu.ops import quant as quant_ops
+
+            # jit each quantizer: un-jitted, the per-tensor quantize math
+            # plus the 28-layer layers_list slicing issues ~300 small
+            # dispatches, each paying the tunneled-TPU round trip
+            # (~60-70 s of engine init); jitted it is ONE compiled
+            # program per component (cached across runs in .jax_cache)
             if quantize == "int8":
-                self.params["talker"] = quant_ops.quantize_talker(
+                self.params["talker"] = jax.jit(quant_ops.quantize_talker)(
                     self.params["talker"])
-            self.params["code_predictor"] = quant_ops.quantize_code_predictor(
-                self.params["code_predictor"])
+            self.params["code_predictor"] = jax.jit(
+                quant_ops.quantize_code_predictor)(
+                    self.params["code_predictor"])
         elif quantize is not None:
             raise ValueError(f"unsupported quantize={quantize!r}")
         self.quantize = quantize

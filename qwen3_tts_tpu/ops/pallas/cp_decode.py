@@ -23,11 +23,13 @@ on-chip. That is what this kernel does:
   VMEM (8, 128) scratch tile;
 - sampling (top-k=50 + temperature categorical —
   code_predictor_server.py:87-92) runs in-kernel, vectorized per batch
-  row: the top-k threshold via (k-1) max-extractions, then Gumbel-max
-  over the masked, scaled logits (exactly a categorical draw over the
-  top-k softmax) with a counter-based hash PRNG (murmur-style finalizer;
-  identical bits on TPU and in interpret mode — pltpu.prng_* has no
-  interpret support).
+  row: the top-k threshold via a 32-step bitwise binary search on the
+  sortable-int transform of the float bits (topk_keep_mask — exact, and
+  ~3x fewer VPU passes than (k-1) max-extractions at k=50), then
+  Gumbel-max over the masked, scaled logits (exactly a categorical draw
+  over the top-k softmax) with a counter-based hash PRNG (murmur-style
+  finalizer; identical bits on TPU and in interpret mode — pltpu.prng_*
+  has no interpret support).
 
 Batch support: 1 <= B <= 8. All row-parallel math runs on a fixed 8-row
 tile (one native sublane tile — the MXU cost of 8 rows equals 1); only
@@ -79,12 +81,43 @@ def _qmm(x, q, s):
     return acc * s.astype(jnp.float32).reshape(1, -1)
 
 
+def topk_keep_mask(logits, k):
+    """Per-row mask ``logits >= (k-th largest value in the row)`` — the
+    top-k keep set with ties kept, exactly what (k-1) max-extractions
+    followed by ``logits >= max(rest)`` produces, but via a 32-step
+    bitwise binary search for the threshold.
+
+    The search runs on the order-preserving integer transform of the
+    float bits (sign-flip trick: negative floats bit-reverse, positives
+    offset above them), so the found threshold is the EXACT k-th largest
+    representable value — no epsilon, identical keep set. Cost is 32
+    compare+count passes over (N, V) instead of ~3*(k-1) passes for the
+    extraction loop (~3x fewer VPU ops at k=50; measured in-kernel A/B in
+    docs/BENCHMARKS.md)."""
+    N, _ = logits.shape
+    bits = jax.lax.bitcast_convert_type(logits, jnp.uint32)
+    flip = jnp.where(bits >> 31 > 0, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    key = bits ^ flip                      # monotone in the float value
+
+    def probe(b, t):
+        cand = t | jax.lax.shift_right_logical(
+            jnp.uint32(0x80000000), jnp.uint32(b))
+        cnt = jnp.sum((key >= cand).astype(jnp.int32), axis=-1,
+                      keepdims=True)
+        return jnp.where(cnt >= k, cand, t)
+
+    thr = jax.lax.fori_loop(0, 32, probe,
+                            jnp.zeros((N, 1), jnp.uint32))
+    return key >= thr
+
+
 def sample_tokens(logits, seed_col, step, *, top_k, temperature, greedy):
     """The kernel's sampling math as a standalone pure-jnp function —
-    top-k threshold via (k-1) max-extractions, counter-based hash PRNG
-    (murmur3-finalizer style), Gumbel-max over the masked scaled logits
-    (exactly a categorical draw over the top-k softmax;
-    code_predictor_server.py:87-92 semantics).
+    top-k keep set via bitwise threshold search (topk_keep_mask),
+    counter-based hash PRNG (murmur3-finalizer style), Gumbel-max over
+    the masked scaled logits (exactly a categorical draw over the top-k
+    softmax; code_predictor_server.py:87-92 semantics).
 
     The kernel body calls THIS function, so the χ²-distribution tests in
     tests/test_cp_kernel.py exercise the very code the TPU compiles
@@ -97,21 +130,14 @@ def sample_tokens(logits, seed_col, step, *, top_k, temperature, greedy):
     N, V = logits.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
 
-    # --- per-row top-k threshold: remove the (k-1) largest ---
-    def rm_one(_, work):
-        m = jnp.max(work, axis=-1, keepdims=True)
-        first = jnp.min(jnp.where(work == m, iota, V), axis=-1,
-                        keepdims=True)
-        return jnp.where(iota == first, NEG, work)
-
-    rest = jax.lax.fori_loop(0, top_k - 1, rm_one, logits)
-    thr = jnp.max(rest, axis=-1, keepdims=True)
-    keep = logits >= thr
-    masked = jnp.where(keep, logits, NEG)
-
     if greedy:
-        z = masked
+        # the global argmax is always inside the top-k: skip the
+        # threshold search entirely (bit-parity with the XLA oracle's
+        # first-index argmax is preserved)
+        z = logits
     else:
+        keep = topk_keep_mask(logits, top_k)
+        masked = jnp.where(keep, logits, NEG)
         # Counter-based hash PRNG in plain vector ops, distinct per
         # (row seed, step, lane). Row identity comes from the PER-ROW
         # seed — not the row index — so a request's draws are invariant

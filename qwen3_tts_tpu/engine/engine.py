@@ -66,6 +66,18 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256)) -> int:
     return buckets[-1]
 
 
+def _chained_voc_window(budget_cap: int, n_text: int) -> int:
+    """Static vocoder window (tokens) for the chained non-streaming path:
+    bucket of the tightest known decode bound plus one zero-code
+    lookahead token. For n_text > 0 the EOS-pacing force (progress > 2.0,
+    ops/sampling.py:125) guarantees n <= 6*n_text + 1; n_text == 0 pins
+    progress to 0 and disables pacing entirely, so only the budget bounds
+    the decode — sizing from 6*0+2 there would silently truncate the
+    audio past the window."""
+    pace = (6 * n_text + 2) if n_text > 0 else budget_cap
+    return voc.voc_bucket(min(budget_cap, pace) + 1)
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache for every entry point (CLI, daemon,
     bench): the fused decode program takes minutes to compile through a
@@ -188,15 +200,8 @@ class TTSEngine:
         # the decode jit) was measured SLOWER in a same-window A/B
         # (0.0524 vs 0.0504): one program forces the status fetch to wait
         # for the vocoder leg; the chain keeps the overlap.
-        def _pad_codes(codes, W):
-            B, T, _ = codes.shape
-            if W <= T:
-                return codes[:, :W]
-            return jnp.concatenate(
-                [codes, jnp.zeros((B, W - T, 16), codes.dtype)], axis=1)
-
         self._voc_pad = jax.jit(
-            lambda vp, codes, W: _voc_fn(vp, _pad_codes(codes, W)),
+            lambda vp, codes, W: _voc_fn(vp, voc.pad_codes(codes, W)),
             static_argnames=("W",))
         self._chained_vocode = (
             os.environ.get("QWEN3_TTS_FUSED_VOCODER", "1") != "0")
@@ -475,7 +480,7 @@ class TTSEngine:
             # guarantees n <= 6*n_text + 1), so short texts decode a
             # narrower window.
             with timer.stage("decode+vocoder"):
-                W = voc.voc_bucket(min(budget_cap, 6 * n_text_i + 2) + 1)
+                W = _chained_voc_window(budget_cap, n_text_i)
                 st0, state = _prefill_fused(key, jnp.int32(budget_cap))
                 if st0 is None:  # cache hit / prompt / disk path
                     state = self._decode_pipelined(tp, cpp, state,
@@ -623,7 +628,14 @@ class TTSEngine:
                     if decoded < budget_cap:
                         state = self._run_chunk(
                             tp, cpp, state, jnp.int32(budget_cap - decoded))
-                    bound = min(budget_cap, 6 * n_text_i + 2)
+                    # n_text == 0 disables EOS pacing (see the chained
+                    # path above): fall back to the full budget so the
+                    # optimistic windows still cover the decode (the
+                    # host-window remainder below would stay correct
+                    # either way, but off the overlapped fast path)
+                    bound = min(budget_cap,
+                                (6 * n_text_i + 2) if n_text_i > 0
+                                else budget_cap)
                     while rendered < min(bound, T_buf) - 1:
                         end = min(rendered + VOC_CHUNK_SIZE, bound - 1,
                                   T_buf - 1)
@@ -768,7 +780,10 @@ class TTSEngine:
         per-sentence latency times ceil(n_sentences / max_batch) — a
         capability the single-request reference has no analog of.
 
-        ``on_chunk(audio_int16)`` fires per finished sentence, in order.
+        ``on_chunk(audio_int16)`` fires in stream order: the FIRST
+        sentence arrives as sub-sentence streaming frames (head-schedule
+        latency, ~0.1 s to first audio), later sentences as one frame
+        each when their group finishes.
         ``prompt_dir`` (voice cloning) applies to every piece — pieces
         then synthesize solo, since the batched prefill has no prompt
         path. ``max_tokens`` caps each piece's decode (and tightens the
@@ -796,16 +811,47 @@ class TTSEngine:
         if len(pieces) <= 1:
             res = self.synthesize(text, language=language, seed=seed,
                                   output=output, prompt_dir=prompt_dir,
-                                  max_tokens=max_tokens)
-            if on_chunk is not None and len(res.audio_int16) > 0:
-                on_chunk(res.audio_int16)
+                                  max_tokens=max_tokens,
+                                  streaming=on_chunk is not None,
+                                  on_chunk=on_chunk)
             return res
 
         t_start = time.perf_counter()
         first_audio_t: Optional[float] = None
         audio_parts: List[np.ndarray] = []
         codes_parts: List[np.ndarray] = []
-        for g in range(0, len(pieces), max_batch):
+
+        def emit(a16: np.ndarray) -> None:
+            nonlocal first_audio_t
+            if len(a16) == 0:
+                return
+            if first_audio_t is None:
+                first_audio_t = time.perf_counter() - t_start
+            if on_chunk is not None:
+                on_chunk(a16)
+
+        start = 0
+        if prompt_dir is None:
+            # the FIRST sentence always decodes solo: with a streaming
+            # consumer it goes through the engine's streaming head
+            # schedule, so the paragraph's first audio lands in ~0.1 s
+            # (head-chunk latency) instead of after the first whole
+            # batched group (~seconds). It decodes solo in BOTH consumer
+            # modes (streamed samples are identical to the solo
+            # non-streaming decode — engine streaming contract) so the
+            # stitched result is byte-identical whether or not a chunk
+            # consumer is attached.
+            r0 = self.synthesize(pieces[0], language=language, seed=seed,
+                                 streaming=on_chunk is not None,
+                                 max_tokens=max_tokens,
+                                 on_chunk=emit if on_chunk is not None
+                                 else None)
+            codes_parts.append(r0.codes)
+            audio_parts.append(r0.audio_int16)
+            if on_chunk is None:
+                emit(r0.audio_int16)   # record first-audio only
+            start = 1
+        for g in range(start, len(pieces), max_batch):
             group = pieces[g:g + max_batch]
             if prompt_dir is not None:
                 # voice-cloned prefix rides the solo prefill only
@@ -825,10 +871,7 @@ class TTSEngine:
             for r in rs:
                 codes_parts.append(r.codes)
                 audio_parts.append(r.audio_int16)
-                if first_audio_t is None and len(r.audio_int16) > 0:
-                    first_audio_t = time.perf_counter() - t_start
-                if on_chunk is not None and len(r.audio_int16) > 0:
-                    on_chunk(r.audio_int16)
+                emit(r.audio_int16)
 
         audio_i16 = (np.concatenate(audio_parts) if audio_parts
                      else np.zeros((0,), np.int16))

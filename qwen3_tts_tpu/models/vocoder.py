@@ -381,6 +381,20 @@ def voc_bucket(w: int) -> int:
     return -(-w // 64) * 64
 
 
+def pad_codes(codes, W: int):
+    """Slice-or-zero-pad a (..., T, 16) codes array to a static W-token
+    window along the token axis. The single device-side padding
+    implementation behind every chained vocoder dispatch (engine
+    ``_voc_pad``, batcher ``_voc_slot``) — the zero rows past the true
+    count are the bucketed decode's lookahead contract."""
+    T = codes.shape[-2]
+    if W <= T:
+        return codes[..., :W, :]
+    pad = jnp.zeros(codes.shape[:-2] + (W - T, codes.shape[-1]),
+                    codes.dtype)
+    return jnp.concatenate([codes, pad], axis=-2)
+
+
 def synthesize_exact(decode_fn, codes: np.ndarray,
                      max_single: int = 256) -> np.ndarray:
     """The high-quality decode used by every serving tier: utterances up

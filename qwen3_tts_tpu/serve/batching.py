@@ -325,12 +325,11 @@ class ContinuousBatcher:
 
         def _voc_slot_fn(vp, codes_row, W):
             # one slot's codes (T, 16), padded/sliced to a static W-token
-            # window, decoded on device — dispatched on the DEVICE value
-            # so the vocoder starts before any codes fetch completes
-            T = codes_row.shape[0]
-            c = (codes_row[:W] if W <= T else jnp.concatenate(
-                [codes_row, jnp.zeros((W - T, 16), codes_row.dtype)]))
-            return voc.decode(vp, c[None], cfg.vocoder)
+            # window (vocoder.pad_codes — shared with the engine's
+            # _voc_pad), decoded on device: dispatched on the DEVICE
+            # value so the vocoder starts before any codes fetch completes
+            return voc.decode(vp, voc.pad_codes(codes_row, W)[None],
+                              cfg.vocoder)
 
         self._voc_slot = jax.jit(_voc_slot_fn, static_argnames=("W",))
 
@@ -823,6 +822,15 @@ class ContinuousBatcher:
                 consecutive += 1
                 self._abort_inflight(e, drain_queue=consecutive >= 3)
                 if consecutive >= 3:
+                    # close BEFORE the final queue drain: a submit either
+                    # lands in the queue in time to be failed below, or
+                    # observes _closed and fails fast — without this,
+                    # post-halt submits would enqueue Futures that no
+                    # thread will ever resolve
+                    with self._submit_lock:
+                        self._closed = True
+                    self._stop.set()
+                    self._abort_inflight(e, drain_queue=True)
                     print("batcher: 3 consecutive scheduler failures; "
                           "halting", file=sys.stderr)
                     return

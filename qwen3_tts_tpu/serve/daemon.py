@@ -17,7 +17,9 @@ talker protocol header, llamacpp_talker_server.py:13-27):
   compiled maximum. long: paragraph mode — the text splits into
   sentences; engine mode batches them through synthesize_long, batched
   mode submits each sentence as its own slot so they decode
-  concurrently; stream mode emits one frame per finished sentence.)
+  concurrently; stream mode: in engine mode the first sentence streams
+  at head-chunk latency and later sentences emit one frame each, in
+  batched mode each finished sentence is one frame.)
 
   blob response (default):
     [u32 len][u32 hdr_len][JSON {"n_samples", "n_tokens", "rtf",
@@ -223,7 +225,8 @@ class TTSDaemon:
 
         try:
             if msg.get("long"):
-                # paragraph mode: one frame per finished sentence
+                # paragraph mode: first sentence streams through the
+                # head schedule, later sentences one frame each
                 res = self.engine.synthesize_long(
                     text,
                     language=msg.get("language", "russian"),

@@ -110,26 +110,7 @@ def _bounded_tokens(s: str, count, budget: int) -> List[str]:
 
 
 def _bounded(s: str, max_chars: int) -> List[str]:
-    if len(s) <= max_chars:
-        return [s]
-    # prefer clause boundaries, then whitespace
-    for sep_re in (re.compile(r"(?<=[,;:、，；])\s*"), re.compile(r"\s+")):
-        parts = [p for p in sep_re.split(s) if p]
-        if len(parts) > 1:
-            out: List[str] = []
-            cur = ""
-            for p in parts:
-                cand = (cur + " " + p).strip() if cur else p
-                if len(cand) <= max_chars:
-                    cur = cand
-                else:
-                    if cur:
-                        out.append(cur)
-                    cur = p
-            if cur:
-                out.append(cur)
-            if all(len(p) <= max_chars for p in out):
-                return out
-            return [q for p in out for q in _bounded(p, max_chars)]
-    # no split point at all: hard cut
-    return [s[i:i + max_chars] for i in range(0, len(s), max_chars)]
+    """Char-budget split: exactly the token-budget algorithm with the
+    counter fixed to ``len`` (one clause-split/greedy-pack implementation
+    to maintain, not two)."""
+    return _bounded_tokens(s, len, max_chars)

@@ -405,3 +405,36 @@ def test_nondrained_stop_then_restart_recycles_slots():
         assert len(audio) == len(codes) * 1920
     finally:
         b.stop(drain=True, timeout=30)
+
+
+def test_halted_scheduler_fails_late_submits(monkeypatch):
+    """After 3 consecutive scheduler-step failures the loop halts — and
+    must CLOSE the batcher on the way out: a submit arriving after the
+    halt has to fail fast instead of enqueueing a Future that no thread
+    will ever resolve (round-3 review finding)."""
+    import time as _t
+
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+
+    def exploding_step():
+        raise RuntimeError("persistent scheduler fault")
+
+    monkeypatch.setattr(b, "step", exploding_step)
+    ids, n = _ids("doomed")
+    f = b.submit(ids, n, seed=1)
+    b.start()
+    deadline = _t.time() + 60
+    while b._thread is not None and b._thread.is_alive() \
+            and _t.time() < deadline:
+        _t.sleep(0.01)
+    assert b._thread is None or not b._thread.is_alive()   # halted
+    # the queued request was failed by the final drain
+    with pytest.raises(RuntimeError, match="persistent scheduler fault"):
+        f.result(timeout=1)
+    # post-halt submits fail fast (closed batcher), never hang
+    f_late = b.submit(ids, n, seed=2)
+    assert f_late.done()
+    with pytest.raises(RuntimeError, match="stopped"):
+        f_late.result(timeout=1)

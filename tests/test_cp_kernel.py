@@ -27,8 +27,11 @@ from qwen3_tts_tpu.ops.pallas.cp_decode import cp_decode_steps
 @pytest.fixture(scope="module")
 def setup():
     ccfg = C.CodePredictorConfig()
-    params = cp.init_cp_params(jax.random.PRNGKey(0), ccfg, jnp.bfloat16)
-    qparams = quant.quantize_code_predictor(params)
+    # one jitted program for init+quantize: un-jitted this fixture costs
+    # ~2 min of op-by-op CPU eval at the full geometry
+    qparams = jax.jit(
+        lambda k: quant.quantize_code_predictor(
+            cp.init_cp_params(k, ccfg, jnp.bfloat16)))(jax.random.PRNGKey(0))
     hidden = jax.random.normal(jax.random.PRNGKey(1), (1, ccfg.hidden_size),
                                jnp.bfloat16)
     c0e = jax.random.normal(jax.random.PRNGKey(2), (1, ccfg.hidden_size),

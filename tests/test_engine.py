@@ -160,3 +160,25 @@ def test_overlong_text_truncates_instead_of_crashing(engine):
     be truncated (with a warning), not crash prefill with a shape error."""
     res = engine.synthesize("x" * 500, language="english", seed=0)
     assert res.n_tokens >= 0
+
+
+def test_chained_voc_window_bounds():
+    """Window sizing for the chained vocoder dispatch: n_text == 0
+    disables EOS pacing (progress pinned to 0), so the window must cover
+    the full budget — sizing from 6*0+2 would silently truncate audio
+    (round-3 review finding). For n_text > 0 the pacing force bounds the
+    decode at 6*n_text+1 tokens."""
+    from qwen3_tts_tpu.engine.engine import _chained_voc_window
+    from qwen3_tts_tpu.models.vocoder import voc_bucket
+
+    assert _chained_voc_window(200, 0) == voc_bucket(201)
+    assert _chained_voc_window(10, 0) == voc_bucket(11)
+    assert _chained_voc_window(200, 5) == voc_bucket(33)   # 6*5+2+1
+    assert _chained_voc_window(20, 50) == voc_bucket(21)   # budget-capped
+
+
+def test_empty_text_synthesis(engine):
+    """Zero text tokens: no EOS pacing at all — the decode may run to the
+    full budget and the audio/token accounting must stay consistent."""
+    res = engine.synthesize("", language="english", seed=0)
+    assert len(res.audio_int16) == res.n_tokens * SAMPLES_PER_TOKEN

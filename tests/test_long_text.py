@@ -121,7 +121,9 @@ def test_synthesize_long_stitches_in_order(engine):
     budget = max(2, (engine.cfg.max_tokens - 1) // 6)
     exp = split_for_budget(
         text, lambda s: len(engine.tokenizer.encode(s)), budget)
-    assert len(chunks) == len(exp) > len(split_sentences(text))
+    # the FIRST piece streams through the head schedule (>= 1 frame, low
+    # first-audio latency); every later piece emits exactly one frame
+    assert len(chunks) >= len(exp) > len(split_sentences(text))
     # deterministic for a fixed seed
     res2 = engine.synthesize_long(text, language="russian", seed=5,
                                   max_batch=2)
@@ -187,13 +189,14 @@ def test_daemon_long_engine_and_batched(engine, tmp_path):
         ref = engine.synthesize_long(text, language="russian", seed=7)
         np.testing.assert_array_equal(audio, ref.audio_int16)
         assert hdr["n_tokens"] == ref.n_tokens
-        # stream mode: one frame per sentence
+        # stream mode: the first sentence streams through the head
+        # schedule (>= 1 frame), later sentences one frame each
         frames = []
         hdr_s, audio_s = cl.synthesize(text, language="russian", seed=7,
                                        long=True, stream=True,
                                        on_chunk=lambda h, a: frames.append(a))
         np.testing.assert_array_equal(audio_s, ref.audio_int16)
-        assert len([f for f in frames if len(f)]) == n_sent
+        assert len([f for f in frames if len(f)]) >= n_sent
     finally:
         d.stop()
         t.join(timeout=10)

@@ -643,6 +643,11 @@ def main(argv=None) -> int:
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
                         "single-request config on TPU is 'int8'")
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="ALSO serve HTTP on 127.0.0.1:PORT (serve/http.py:"
+                        " POST /v1/synthesize -> WAV or chunked frame "
+                        "stream, GET /v1/stats, /health) — same handler, "
+                        "second transport")
     args = p.parse_args(argv)
 
     if args.platform != "default":
@@ -676,6 +681,11 @@ def main(argv=None) -> int:
                                     paged=args.paged,
                                     page_size=args.page_size)
     daemon = TTSDaemon(engine, args.socket, batcher=batcher)
+    if args.http:
+        from qwen3_tts_tpu.serve.http import serve_http
+        srv = serve_http(daemon, port=args.http)
+        print(f"HTTP gateway on http://127.0.0.1:"
+              f"{srv.server_address[1]}", flush=True)
     print(f"TTS daemon listening on {args.socket}", flush=True)
     daemon.serve(native_loop=not args.python_loop)
     return 0

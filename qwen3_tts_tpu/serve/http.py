@@ -1,0 +1,170 @@
+"""HTTP serving tier: a stdlib gateway in front of the daemon handler.
+
+The reference's serving surface is Unix sockets with bespoke framing
+(docs/ARCHITECTURE.md:44-64); serve/daemon.py preserves that surface.
+Production fleets, though, speak HTTP — this module exposes the SAME
+request semantics over TCP with zero logic duplication: every request is
+translated into the daemon's JSON message and dispatched through
+``TTSDaemon.handle``, so engine mode, batched mode, paragraph mode,
+voice cloning, per-request ``max_tokens``, stats, and error sentinels
+all behave identically on both transports.
+
+Endpoints:
+  GET  /health            -> 200 {"ok": true}
+  GET  /v1/stats          -> 200 JSON (the daemon's stats snapshot)
+  POST /v1/synthesize     -> body: the daemon's JSON request object
+      default: 200 audio/wav (a complete WAV file; synthesis metadata in
+      X-Ttsrt-* response headers)
+      {"stream": true}: 200 chunked application/x-ttsrt-frames — the
+      daemon's native frame stream ([u32 frame_len][u32 hdr_len][JSON]
+      [int16 pcm]) carried verbatim as the HTTP body, ending with the
+      done-frame; HTTPFrameReader below parses it client-side.
+
+Threading: ThreadingHTTPServer — one thread per connection, matching the
+daemon's per-connection threads, so batched-mode requests from
+concurrent HTTP clients genuinely share the decode batch.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from qwen3_tts_tpu.serve.daemon import TTSDaemon, decode_response
+
+
+def _wav_bytes(audio_int16: np.ndarray) -> bytes:
+    """A complete in-memory WAV file (mono, 24 kHz, s16le)."""
+    from qwen3_tts_tpu.io import wav as wav_io
+
+    buf = io.BytesIO()
+    wav_io.write_wav(buf, audio_int16)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    daemon_ref: TTSDaemon = None   # set by serve_http
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):   # quiet by default
+        pass
+
+    # -- helpers ------------------------------------------------------------
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    # -- routes -------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            return self._json(200, {"ok": True})
+        if self.path == "/v1/stats":
+            payload = self.daemon_ref.handle(b'{"cmd": "stats"}')
+            header, _ = decode_response(payload)
+            return self._json(200, header)
+        return self._json(404, {"error": f"no route {self.path!r}"})
+
+    def do_POST(self):
+        if self.path != "/v1/synthesize":
+            return self._json(404, {"error": f"no route {self.path!r}"})
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(n)
+            msg = json.loads(raw.decode())
+        except Exception as e:
+            return self._json(400, {"error": f"bad request body: {e}"})
+
+        if msg.get("stream"):
+            # chunked transfer of the daemon's native frame stream; the
+            # daemon handler writes frames as synthesis renders them
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ttsrt-frames")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_frame(frame: bytes) -> None:
+                payload = struct.pack("<I", len(frame)) + frame
+                self.wfile.write(f"{len(payload):x}\r\n".encode()
+                                 + payload + b"\r\n")
+                self.wfile.flush()
+
+            self.daemon_ref.handle(raw, send_frame)
+            self.wfile.write(b"0\r\n\r\n")
+            return None
+
+        payload = self.daemon_ref.handle(raw)
+        header, audio = decode_response(payload)
+        if "error" in header:
+            return self._json(400, header)
+        body = _wav_bytes(audio)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in header.items():
+            if v is not None:
+                self.send_header(f"X-Ttsrt-{k.replace('_', '-')}", str(v))
+        self.end_headers()
+        self.wfile.write(body)
+        return None
+
+
+class HTTPFrameReader:
+    """Client-side parser for the streaming response body: yields
+    (header dict, int16 audio) per daemon frame. Feed it the raw
+    (de-chunked) body stream of a ``stream: true`` response."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+
+    def __iter__(self):
+        while True:
+            raw = self._read_exact(4)
+            if raw is None:
+                return
+            (n,) = struct.unpack("<I", raw)
+            frame = self._read_exact(n)
+            if frame is None:
+                return
+            header, audio = decode_response(frame)
+            yield header, audio
+            if header.get("done"):
+                # drain the body to its end (the chunked terminator) so
+                # a keep-alive connection is reusable afterwards
+                try:
+                    self.f.read()
+                except Exception:
+                    pass
+                return
+
+    def _read_exact(self, n: int) -> Optional[bytes]:
+        buf = b""
+        while len(buf) < n:
+            part = self.f.read(n - len(buf))
+            if not part:
+                return None
+            buf += part
+        return buf
+
+
+def serve_http(daemon: TTSDaemon, host: str = "127.0.0.1",
+               port: int = 8750) -> ThreadingHTTPServer:
+    """Start the HTTP gateway on a background thread; returns the server
+    (call ``.shutdown()`` to stop). The daemon's ``handle`` does the
+    work; this only owns the transport."""
+    handler = type("BoundHandler", (_Handler,), {"daemon_ref": daemon})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

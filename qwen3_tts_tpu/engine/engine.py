@@ -165,7 +165,6 @@ class TTSEngine:
         # finishes the utterance in a single invocation (each invocation
         # costs ~100 ms through the tunnel)
         self.head_schedule = (8, 56)
-        self.decode_quantum = 16
         # ONE program, dynamic step budget (see gen.run_steps docstring)
         self._run_chunk = jax.jit(
             lambda tp, cpp, s, n: gen.run_steps(tp, cpp, s, c, n))
@@ -361,8 +360,9 @@ class TTSEngine:
     def _decode_pipelined(self, tp, cpp, state, budget: Optional[int] = None):
         """Run the decode to completion in ONE program invocation (the
         while_loop exits on EOS; the step budget is a runtime scalar)."""
-        state = self._run_chunk(tp, cpp, state,
-                                jnp.int32(budget or self.cfg.max_tokens))
+        state = self._run_chunk(
+            tp, cpp, state,
+            jnp.int32(self.cfg.max_tokens if budget is None else budget))
         return state
 
     def _encode_text(self, text: str):
@@ -550,7 +550,7 @@ class TTSEngine:
                 """Fetch dispatched windows in order, keep each one's new
                 samples ([start, start+size) tokens, trimmed to the now
                 known token count), hand them to ``on_chunk``."""
-                nonlocal flushed
+                nonlocal flushed, first_audio_t
                 while flushed < len(pending):
                     fut, start, size = pending[flushed]
                     flushed += 1
@@ -561,6 +561,11 @@ class TTSEngine:
                     a = a[start * SAMPLES_PER_TOKEN:
                           (start + keep) * SAMPLES_PER_TOKEN]
                     chunks.append(a)
+                    if first_audio_t is None and len(a) > 0:
+                        # covers paths where no phase-1 window blocked on
+                        # a fetch (e.g. max_tokens=1: the only audio
+                        # arrives via the host-window remainder)
+                        first_audio_t = time.perf_counter() - t_start
                     if on_chunk is not None:
                         on_chunk(voc.to_int16(a))
 
@@ -701,6 +706,10 @@ class TTSEngine:
         for lang in languages:
             if lang not in SUPPORTED_LANGUAGES:
                 raise ValueError(f"unsupported language {lang!r}")
+        if max_tokens is not None and max_tokens < 1:
+            # same contract as synthesize(): without this, a falsy 0
+            # would silently decode the FULL budget (review finding)
+            raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
 
         timer = StageTimer()
         tp = self.params["talker"]
@@ -801,6 +810,8 @@ class TTSEngine:
         # un-truncated decode. Measured with the production tokenizer —
         # a char bound both over-splits BPE text (~0.4 tokens/char) and
         # under-splits multi-byte scripts under byte fallback
+        if max_tokens is not None and max_tokens < 1:
+            raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
         cap = (min(int(max_tokens), self.cfg.max_tokens)
                if max_tokens is not None else self.cfg.max_tokens)
         budget = max(2, (cap - 1) // 6)

@@ -473,7 +473,16 @@ def synthesize_chunked(
     compat vocoder server. ``decode_fn`` takes (1, max_tokens, 16) int32
     and returns (1, max_tokens*1920) float32. Single chunk: zero-pad,
     decode, trim. Multi-chunk: advance by ``max_tokens - overlap``; linear
-    fade-out/fade-in blend over the overlap region."""
+    fade-out/fade-in blend over the overlap region.
+
+    WARNING — wire-parity includes a reference defect: when the final
+    chunk is shorter than ``overlap`` (n_tokens mod step in
+    [1, overlap-1]) its audio is appended raw (vocoder_server.py:109-117
+    does the same), duplicating up to overlap-1 tokens of already-emitted
+    tail audio. Every first-party path uses ``synthesize_exact`` /
+    ``synthesize_chunked_context`` instead; use this ONLY where
+    byte-parity with the reference's vocoder server is the contract
+    (serve/compat.py)."""
     n_tokens = len(codes)
     spt = SAMPLES_PER_TOKEN
 

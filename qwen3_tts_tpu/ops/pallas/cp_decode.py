@@ -53,32 +53,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qwen3_tts_tpu.ops.pallas.common import qmm as _qmm
+from qwen3_tts_tpu.ops.pallas.common import rms as _rms
+from qwen3_tts_tpu.ops.pallas.common import rot_mat as _rot_mat
+
 NEG = -1e30
 BP = 8  # padded batch rows (one sublane tile)
-
-
-def _rms(x, w, eps):
-    """RMSNorm rows of x (.., D) in f32; returns f32."""
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
-
-
-def _rot_mat(dh):
-    """(Dh, Dh) f32 R with (x @ R) == rotate_half(x) (HF convention:
-    rotate_half(x) = concat(-x[d/2:], x[:d/2]))."""
-    half = dh // 2
-    r = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 1)
-    return (jnp.where(r == c + half, -1.0, 0.0)
-            + jnp.where(r + half == c, 1.0, 0.0)).astype(jnp.float32)
-
-
-def _qmm(x, q, s):
-    """x (R, K) -> (R, N) f32: int8 weight matmul with per-col scales."""
-    acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    return acc * s.astype(jnp.float32).reshape(1, -1)
 
 
 def topk_keep_mask(logits, k):

@@ -38,32 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qwen3_tts_tpu.ops.pallas.common import qmm as _qmm
+from qwen3_tts_tpu.ops.pallas.common import rms as _rms
+from qwen3_tts_tpu.ops.pallas.common import rot_mat as _rot_mat
+
 NEG = -1e30
 BP = 8  # padded batch rows (one sublane tile)
-
-
-def _rms(x, w, eps):
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
-
-
-def _rot_mat(dh):
-    """(Dh, Dh) f32 R with (x @ R) == rotate_half(x) (HF convention:
-    rotate_half(x) = concat(-x[d/2:], x[:d/2]); same as
-    ops/pallas/cp_decode._rot_mat)."""
-    half = dh // 2
-    r = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 1)
-    return (jnp.where(r == c + half, -1.0, 0.0)
-            + jnp.where(r + half == c, 1.0, 0.0)).astype(jnp.float32)
-
-
-def _qmm(x, q, s):
-    """bf16 x (R, K) @ int8 q (K, N) * scale (N,) -> f32 (R, N)."""
-    acc = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    return acc * s.astype(jnp.float32)
 
 
 def _make_kernel(B, L, nH, nKV, S, Dh, H, I, eps):

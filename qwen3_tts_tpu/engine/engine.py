@@ -812,9 +812,8 @@ class TTSEngine:
         # under-splits multi-byte scripts under byte fallback
         if max_tokens is not None and max_tokens < 1:
             raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-        cap = (min(int(max_tokens), self.cfg.max_tokens)
-               if max_tokens is not None else self.cfg.max_tokens)
-        budget = max(2, (cap - 1) // 6)
+        from qwen3_tts_tpu.utils.text import piece_token_budget
+        budget = piece_token_budget(self.cfg.max_tokens, max_tokens)
         pieces = split_for_budget(
             text, lambda s: len(
                 self.tokenizer.encode(s, add_special_tokens=False)),

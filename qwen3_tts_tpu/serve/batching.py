@@ -46,6 +46,10 @@ class _Request:
         self.n_text = n_text
         self.seed = seed
         self.max_tokens = max_tokens
+        # set by the submitter (e.g. a daemon timeout) to withdraw an
+        # un-admitted request: _admit skips it instead of decoding a full
+        # utterance for a dead connection
+        self.cancelled = False
         # streaming: called with each new float32 audio segment as soon
         # as its tokens are final (conv-exact windows, paced emissions).
         # Runs on the SCHEDULER thread — it must not block (queue the
@@ -280,7 +284,6 @@ class ContinuousBatcher:
             self._insert_paged = jax.jit(_insert_slot_paged,
                                          static_argnames=("n_rows",))
 
-        tp = params["talker"]
         self._state = _empty_state(cfg, batch_size, dtype, paged_kv)
         if self._state_shardings is not None:
             self._state = jax.device_put(self._state, self._state_shardings)
@@ -380,10 +383,15 @@ class ContinuousBatcher:
         return snap
 
     def start(self) -> None:
-        if self._closed and self._thread is not None:
-            raise RuntimeError(
-                "batcher scheduler thread from a previous stop() is still "
-                "alive; cannot restart")
+        if self._thread is not None and self._thread.is_alive():
+            if self._closed:
+                raise RuntimeError(
+                    "batcher scheduler thread from a previous stop() is "
+                    "still alive; cannot restart")
+            # already running (e.g. started manually before being handed
+            # to the daemon): a second concurrent scheduler over the same
+            # device state would corrupt it — idempotent no-op instead
+            return
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -512,6 +520,11 @@ class ContinuousBatcher:
                 if req is None:
                     exhausted = True
                     break
+                if req.cancelled:
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError("request cancelled"))
+                    continue
                 # per-request isolation: a malformed request (oversized
                 # prefix, prefill shape error, ...) fails ITS OWN future
                 # and the slot moves on to the next request — it must
@@ -855,7 +868,14 @@ class ContinuousBatcher:
                 try:
                     self._state = self._release(self._state, jnp.int32(s))
                 except Exception:
-                    pass   # device unusable: the halt path handles it
+                    # device release failed: the abandoned slot's table
+                    # row still points at these pages, and a frozen slot
+                    # keeps rewriting K/V at its last position — recycling
+                    # them would hand corrupted pages to the next request.
+                    # Leak them instead (bounded by slots x pages; the
+                    # halt path handles a truly dead device).
+                    self._slot_pages[s] = []
+                    continue
                 self._free_by_group[self._slot_group(s)].extend(
                     self._slot_pages[s])
                 self._slot_pages[s] = []

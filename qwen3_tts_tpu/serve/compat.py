@@ -54,14 +54,8 @@ SENTINEL_DONE = -1
 SENTINEL_ERROR = -2
 
 
-def _recv_exact(conn, n: int) -> Optional[bytes]:
-    data = b""
-    while len(data) < n:
-        chunk = conn.recv(n - len(data))
-        if not chunk:
-            return None
-        data += chunk
-    return data
+# one shared implementation of the framing-critical recv loop
+from qwen3_tts_tpu.serve.daemon import _recv_exact  # noqa: E402
 
 
 class _SocketServer:
@@ -169,7 +163,6 @@ class TalkerCompatServer(_SocketServer):
         tp = self.params["talker"]
         hidden, kv, plen = self._prefill(tp, jnp.asarray(padded),
                                          jnp.int32(n))
-        pos = plen[None] if plen.ndim == 0 else plen
         pos = jnp.asarray([int(plen)], jnp.int32)
 
         ring = jnp.full((self.cfg.sampling.repetition_window,), -1, jnp.int32)

@@ -349,6 +349,13 @@ class TTSDaemon:
                 _drain(block=False)
             codes, audio = fut.result(timeout=600)
         except Exception as e:
+            # withdraw the request if it is still waiting for a slot:
+            # without this a timed-out (dead-connection) request would
+            # later be admitted and fully decoded for nobody, amplifying
+            # the very overload that caused the timeout
+            req_obj = getattr(fut, "request", None)
+            if req_obj is not None:
+                req_obj.cancelled = True
             # streams must ALWAYS terminate with a done-frame (the
             # engine-mode contract, _handle_stream) — a client reading
             # frames until "done" would otherwise hang. Blob mode
@@ -394,9 +401,8 @@ class TTSDaemon:
         # bound pieces by ENCODED token count (the engine's split rule,
         # engine.synthesize_long) so EOS pacing can never truncate a
         # piece; max_tokens tightens each piece's budget
-        cap = (min(int(mt), self.engine.cfg.max_tokens)
-               if mt is not None else self.engine.cfg.max_tokens)
-        budget = max(2, (cap - 1) // 6)
+        from qwen3_tts_tpu.utils.text import piece_token_budget
+        budget = piece_token_budget(self.engine.cfg.max_tokens, mt)
         tok = self.engine.tokenizer
         pieces = split_for_budget(
             text, lambda s: len(tok.encode(s, add_special_tokens=False)),
@@ -422,6 +428,12 @@ class TTSDaemon:
                         {"chunk": idx, "n_samples": int(len(a16))}, a16))
                     idx += 1
         except Exception as e:
+            # withdraw the pieces still waiting for slots (see
+            # _handle_batched: dead-connection work amplifies overload)
+            for f in futs:
+                r = getattr(f, "request", None)
+                if r is not None and not f.done():
+                    r.cancelled = True
             self.stats.record_error()
             if send_frame is not None:
                 send_frame(encode_response({"done": True,
@@ -544,8 +556,13 @@ class DaemonClient:
             c.connect(self.socket_path)
             c.sendall(struct.pack("<I", len(msg)) + msg)
             raw = _recv_exact(c, 4)
+            if raw is None:
+                raise RuntimeError("daemon closed connection before reply")
             n = struct.unpack("<I", raw)[0]
-            header, _ = decode_response(_recv_exact(c, n))
+            payload = _recv_exact(c, n)
+            if payload is None:
+                raise RuntimeError("daemon closed connection mid-reply")
+            header, _ = decode_response(payload)
             return header
         finally:
             c.close()

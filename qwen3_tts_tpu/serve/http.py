@@ -50,10 +50,20 @@ def _wav_bytes(audio_int16: np.ndarray) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     daemon_ref: TTSDaemon = None   # set by serve_http
+    engine_lock: threading.Lock = None  # serializes engine-mode requests
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):   # quiet by default
         pass
+
+    def _engine_serial(self):
+        """Engine mode serves one request at a time (the daemon's Unix
+        loops enforce this by construction); batched mode is the
+        concurrency tier, so its requests pass through un-serialized."""
+        if self.daemon_ref.batcher is None:
+            return self.engine_lock
+        import contextlib
+        return contextlib.nullcontext()
 
     # -- helpers ------------------------------------------------------------
 
@@ -100,11 +110,21 @@ class _Handler(BaseHTTPRequestHandler):
                                  + payload + b"\r\n")
                 self.wfile.flush()
 
-            self.daemon_ref.handle(raw, send_frame)
+            with self._engine_serial():
+                resp = self.daemon_ref.handle(raw, send_frame)
+            if resp is not None:
+                # early failures (empty text, bad params) come back as a
+                # blob instead of through send_frame — forward it as the
+                # stream's terminal done-frame so HTTP clients see the
+                # error rather than a clean empty stream (review finding)
+                from qwen3_tts_tpu.serve.daemon import encode_response
+                header, _ = decode_response(resp)
+                send_frame(encode_response({"done": True, **header}, None))
             self.wfile.write(b"0\r\n\r\n")
             return None
 
-        payload = self.daemon_ref.handle(raw)
+        with self._engine_serial():
+            payload = self.daemon_ref.handle(raw)
         header, audio = decode_response(payload)
         if "error" in header:
             return self._json(400, header)
@@ -163,7 +183,9 @@ def serve_http(daemon: TTSDaemon, host: str = "127.0.0.1",
     """Start the HTTP gateway on a background thread; returns the server
     (call ``.shutdown()`` to stop). The daemon's ``handle`` does the
     work; this only owns the transport."""
-    handler = type("BoundHandler", (_Handler,), {"daemon_ref": daemon})
+    handler = type("BoundHandler", (_Handler,),
+                   {"daemon_ref": daemon,
+                    "engine_lock": threading.Lock()})
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

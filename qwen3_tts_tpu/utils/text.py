@@ -41,6 +41,18 @@ def split_sentences(text: str, max_chars: int = 0) -> List[str]:
     return pieces
 
 
+def piece_token_budget(cfg_max_tokens: int, max_tokens=None) -> int:
+    """Per-piece ENCODED-token budget for paragraph synthesis, shared by
+    every long-mode tier (engine.synthesize_long, daemon batched long).
+    EOS pacing forces a stop at 6*n_text+1 codec tokens (ops/sampling —
+    3 expected codec tokens per text token, forced at 2x), so bounding a
+    piece at (cap-1)//6 text tokens guarantees its decode is never
+    truncated by the request cap."""
+    cap = (min(int(max_tokens), cfg_max_tokens)
+           if max_tokens is not None else cfg_max_tokens)
+    return max(2, (cap - 1) // 6)
+
+
 def split_for_budget(text: str, count_tokens, max_text_tokens: int,
                      merge: bool = True) -> List[str]:
     """Split ``text`` so each piece's ENCODED token count

@@ -438,3 +438,42 @@ def test_halted_scheduler_fails_late_submits(monkeypatch):
     assert f_late.done()
     with pytest.raises(RuntimeError, match="stopped"):
         f_late.result(timeout=1)
+
+
+def test_start_is_idempotent_while_running():
+    """start() on an already-running batcher must not spawn a second
+    scheduler thread over the same device state (review finding)."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    b.start()
+    t1 = b._thread
+    try:
+        b.start()             # e.g. daemon.serve() after a manual start
+        assert b._thread is t1 and t1.is_alive()
+        ids, n = _ids("still works")
+        codes, audio = b.submit(ids, n, seed=3).result(timeout=120)
+        assert len(audio) == len(codes) * 1920
+    finally:
+        b.stop(drain=True, timeout=30)
+
+
+def test_cancelled_request_is_skipped(monkeypatch):
+    """A request withdrawn before admission (daemon client timeout) must
+    be skipped by the scheduler instead of decoding a full utterance for
+    a dead connection (review finding)."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids, n = _ids("withdrawn")
+    f = b.submit(ids, n, seed=1)
+    f.request.cancelled = True
+    f2 = b.submit(ids, n, seed=2)
+    for _ in range(400):
+        if f.done() and f2.done():
+            break
+        b.step()
+    with pytest.raises(RuntimeError, match="cancelled"):
+        f.result(timeout=1)
+    codes, audio = f2.result(timeout=1)   # queue kept flowing
+    assert len(audio) == len(codes) * 1920

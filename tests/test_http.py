@@ -112,3 +112,20 @@ def test_unknown_route_404(gateway):
     assert r.status == 404
     r.read()
     c.close()
+
+
+def test_stream_error_arrives_as_done_frame(gateway):
+    """Early failures in stream mode must reach HTTP clients as a
+    terminal done-frame with the error — not as a clean empty stream
+    (review finding: handle() returns early errors as a blob that the
+    gateway previously discarded)."""
+    c = _conn(gateway)
+    c.request("POST", "/v1/synthesize",
+              body=json.dumps({"text": "", "stream": True}).encode())
+    r = c.getresponse()
+    assert r.status == 200   # headers are already out in stream mode
+    frames = list(HTTPFrameReader(r))
+    assert len(frames) == 1
+    hdr, audio = frames[0]
+    assert "error" in hdr and hdr.get("done") is True and len(audio) == 0
+    c.close()

@@ -246,3 +246,26 @@ def test_paged_pool_exhaustion_degrades_gracefully(long_cfg_params):
     codes, audio = fut.result(timeout=1)
     assert len(audio) == len(codes) * 1920
     assert len(b._free_pages) == 4
+
+
+def test_paged_batcher_streaming_matches_blob(long_cfg_params):
+    """Streaming on the PAGED batcher: the conv-exact windows come off
+    the (unpaged) codes buffer, so segments must concatenate to the same
+    audio a non-streaming paged request produces for the same seed."""
+    cfg, params = long_cfg_params
+    b = _paged_batcher(cfg, params, batch_size=2, decode_chunk=8,
+                       page_size=16)
+    ids = np.arange(1000, 1020, dtype=np.int32)
+    segs = []
+    f_stream = b.submit(ids, 20, seed=31, on_chunk=segs.append)
+    f_blob = b.submit(ids, 20, seed=31)
+    for _ in range(600):
+        if f_stream.done() and f_blob.done():
+            break
+        b.step()
+    codes_s, audio_s = f_stream.result(timeout=1)
+    codes_b, audio_b = f_blob.result(timeout=1)
+    np.testing.assert_array_equal(codes_s, codes_b)
+    np.testing.assert_array_equal(audio_s, audio_b)
+    assert segs and np.testing.assert_array_equal(
+        np.concatenate(segs), audio_s) is None

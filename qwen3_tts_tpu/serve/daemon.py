@@ -698,13 +698,42 @@ def main(argv=None) -> int:
                                     paged=args.paged,
                                     page_size=args.page_size)
     daemon = TTSDaemon(engine, args.socket, batcher=batcher)
+    srv = None
     if args.http:
         from qwen3_tts_tpu.serve.http import serve_http
         srv = serve_http(daemon, port=args.http)
         print(f"HTTP gateway on http://127.0.0.1:"
               f"{srv.server_address[1]}", flush=True)
+
+    # Graceful shutdown on SIGTERM/SIGINT (the reference's launcher kills
+    # its servers through an EXIT trap, launch_qwen3_tts.sh:70-83; here
+    # one process owns everything). The serve loop runs on a worker thread
+    # because the native accept loop blocks inside a C call — a Python
+    # signal handler can only run while the MAIN thread executes Python,
+    # so main sits in an interruptible join and stop() unblocks the loop;
+    # serve()'s finally then drains in-flight batched slots.
+    import signal
+
+    def _on_signal(signum, frame):
+        print(f"signal {signum}: shutting down", flush=True)
+        daemon.stop()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_signal)
+
     print(f"TTS daemon listening on {args.socket}", flush=True)
-    daemon.serve(native_loop=not args.python_loop)
+    server = threading.Thread(
+        target=daemon.serve, kwargs={"native_loop": not args.python_loop},
+        daemon=True)
+    server.start()
+    try:
+        while server.is_alive():
+            server.join(timeout=0.5)
+    finally:
+        daemon.stop()
+        server.join(timeout=30.0)
+        if srv is not None:
+            srv.shutdown()
     return 0
 
 

@@ -330,3 +330,40 @@ def test_daemon_stats_batched(engine, tmp_path):
     finally:
         daemon.stop()
         t.join(timeout=10)
+
+
+def test_daemon_main_sigterm_graceful(tmp_path):
+    """`python -m ...daemon` shuts down cleanly on SIGTERM: exit code 0,
+    socket unlinked (reference parity: launch_qwen3_tts.sh's EXIT-trap
+    cleanup, :70-83 — here one process owns the socket lifecycle)."""
+    import signal
+    import subprocess
+    import sys
+
+    sock = str(tmp_path / "sig.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "qwen3_tts_tpu.serve.daemon",
+         "--tiny", "--platform", "cpu", "--socket", sock, "--python_loop"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        # engine init + warmup synthesis: ~50 s with a warm persistent
+        # compile cache, ~190 s on a cold one (first run on a machine)
+        deadline = time.time() + 420
+        while not os.path.exists(sock):
+            assert proc.poll() is None, (
+                "daemon died before listening:\n"
+                + proc.stdout.read().decode(errors="replace"))
+            assert time.time() < deadline, "daemon socket never appeared"
+            time.sleep(0.1)
+        # live round trip, then SIGTERM mid-idle
+        client = DaemonClient(sock)
+        header, _ = client.synthesize("signal", language="english", seed=1)
+        assert header["n_tokens"] > 0
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out.decode(errors="replace")
+        assert "shutting down" in out.decode(errors="replace")
+        assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

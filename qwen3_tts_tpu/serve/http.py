@@ -19,6 +19,18 @@ Endpoints:
       daemon's native frame stream ([u32 frame_len][u32 hdr_len][JSON]
       [int16 pcm]) carried verbatim as the HTTP body, ending with the
       done-frame; HTTPFrameReader below parses it client-side.
+  POST /v1/audio/speech   -> OpenAI-compatible speech surface: body
+      {"input": text, "voice": "default"|<prompt_dir>, "response_format":
+      "wav"|"pcm", "speed": 1.0, "stream": bool} plus the non-standard
+      extensions {"language", "seed", "max_tokens", "long"} passed
+      through to the daemon. Non-stream: the complete wav/pcm bytes.
+      Stream: chunked raw bytes in the requested format as frames render
+      (pcm only — a WAV header needs the final length). Errors use the
+      OpenAI error envelope {"error": {"message", "type", "param"}}.
+      "voice" resolves to a voice-cloning prompt_dir (a directory made
+      by tools/encode_reference_audio.py); "default"/""/absent means the
+      unconditioned model voice. speed != 1.0 is rejected (no
+      time-stretch DSP in the pipeline — same stance as FP32-only).
 
 Threading: ThreadingHTTPServer — one thread per connection, matching the
 daemon's per-connection threads, so batched-mode requests from
@@ -86,7 +98,113 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, header)
         return self._json(404, {"error": f"no route {self.path!r}"})
 
+    def _openai_error(self, code: int, message: str,
+                      param: Optional[str] = None) -> None:
+        self._json(code, {"error": {"message": message,
+                                    "type": "invalid_request_error",
+                                    "param": param}})
+
+    def _audio_speech(self) -> None:
+        """OpenAI-compatible POST /v1/audio/speech (docstring above)."""
+        import os
+
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            msg = json.loads(self.rfile.read(n).decode())
+        except Exception as e:
+            return self._openai_error(400, f"bad request body: {e}")
+
+        text = msg.get("input")
+        if not isinstance(text, str) or not text.strip():
+            return self._openai_error(400, "'input' must be non-empty text",
+                                      "input")
+        fmt = msg.get("response_format", "wav")
+        if fmt not in ("wav", "pcm"):
+            return self._openai_error(
+                400, f"response_format {fmt!r} unsupported (wav, pcm)",
+                "response_format")
+        speed = msg.get("speed", 1.0)
+        if speed != 1.0:
+            return self._openai_error(
+                400, "speed != 1.0 is not supported (no time-stretch DSP)",
+                "speed")
+        stream = bool(msg.get("stream"))
+        if stream and fmt == "wav":
+            return self._openai_error(
+                400, "streaming requires response_format 'pcm' (a WAV "
+                "header needs the final length)", "response_format")
+
+        # pre-validate everything the daemon/engine would reject, so
+        # stream-mode failures surface as a 4xx status instead of an
+        # empty chunked body (headers go out before handle() runs)
+        from qwen3_tts_tpu.config import SUPPORTED_LANGUAGES
+        language = msg.get("language", "russian")
+        if language not in SUPPORTED_LANGUAGES:
+            return self._openai_error(
+                400, f"unsupported language {language!r}; expected one of "
+                f"{SUPPORTED_LANGUAGES}", "language")
+        req = {"text": text, "language": language,
+               "seed": int(msg.get("seed", 0))}
+        if "max_tokens" in msg and msg["max_tokens"] is not None:
+            try:
+                mt = int(msg["max_tokens"])
+            except (TypeError, ValueError):
+                return self._openai_error(400, "max_tokens must be an int",
+                                          "max_tokens")
+            if mt < 1:
+                return self._openai_error(
+                    400, f"max_tokens must be >= 1, got {mt}", "max_tokens")
+            req["max_tokens"] = mt
+        if "long" in msg:
+            req["long"] = msg["long"]
+        voice = msg.get("voice", "default")
+        if voice not in ("default", "", None):
+            if not os.path.isdir(voice):
+                return self._openai_error(
+                    400, f"unknown voice {voice!r}: expected 'default' or a "
+                    "prompt_dir created by encode_reference_audio", "voice")
+            req["prompt_dir"] = voice
+        raw = json.dumps(dict(req, stream=stream,
+                              streaming=stream)).encode()
+
+        if stream:
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/pcm")
+            self.send_header("X-Ttsrt-Sample-Rate", "24000")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_frame(frame: bytes) -> None:
+                _, audio = decode_response(frame)
+                pcm = audio.tobytes()
+                if pcm:
+                    self.wfile.write(f"{len(pcm):x}\r\n".encode()
+                                     + pcm + b"\r\n")
+                    self.wfile.flush()
+
+            with self._engine_serial():
+                self.daemon_ref.handle(raw, send_frame)
+            self.wfile.write(b"0\r\n\r\n")
+            return None
+
+        with self._engine_serial():
+            payload = self.daemon_ref.handle(raw)
+        header, audio = decode_response(payload)
+        if "error" in header:
+            return self._openai_error(400, header["error"])
+        body = _wav_bytes(audio) if fmt == "wav" else audio.tobytes()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "audio/wav" if fmt == "wav" else "audio/pcm")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Ttsrt-Sample-Rate", "24000")
+        self.end_headers()
+        self.wfile.write(body)
+        return None
+
     def do_POST(self):
+        if self.path == "/v1/audio/speech":
+            return self._audio_speech()
         if self.path != "/v1/synthesize":
             return self._json(404, {"error": f"no route {self.path!r}"})
         try:

@@ -114,6 +114,74 @@ def test_unknown_route_404(gateway):
     c.close()
 
 
+def test_openai_speech_wav_matches_engine(gateway):
+    """POST /v1/audio/speech (OpenAI-compatible surface): default wav
+    response carries exactly the engine's synthesis."""
+    engine, _, _ = gateway
+    c = _conn(gateway)
+    body = json.dumps({"model": "qwen3-tts", "input": "hello openai",
+                       "language": "english", "seed": 3}).encode()
+    c.request("POST", "/v1/audio/speech", body=body)
+    r = c.getresponse()
+    assert r.status == 200 and r.getheader("Content-Type") == "audio/wav"
+    with wave.open(io.BytesIO(r.read()), "r") as wf:
+        assert wf.getframerate() == SAMPLE_RATE
+        audio = np.frombuffer(wf.readframes(wf.getnframes()), np.int16)
+    ref = engine.synthesize("hello openai", language="english", seed=3)
+    np.testing.assert_array_equal(audio, ref.audio_int16)
+    c.close()
+
+
+def test_openai_speech_pcm_and_stream(gateway):
+    """response_format 'pcm' returns raw s16le bytes; stream mode chunks
+    the same bytes as they render."""
+    engine, _, _ = gateway
+    c = _conn(gateway)
+    req = {"input": "hello openai", "language": "english", "seed": 3,
+           "response_format": "pcm"}
+    c.request("POST", "/v1/audio/speech", body=json.dumps(req).encode())
+    r = c.getresponse()
+    assert r.status == 200 and r.getheader("Content-Type") == "audio/pcm"
+    assert r.getheader("X-Ttsrt-Sample-Rate") == "24000"
+    pcm = np.frombuffer(r.read(), np.int16)
+    ref = engine.synthesize("hello openai", language="english", seed=3)
+    np.testing.assert_array_equal(pcm, ref.audio_int16)
+
+    c.request("POST", "/v1/audio/speech",
+              body=json.dumps(dict(req, stream=True)).encode())
+    r = c.getresponse()
+    assert r.status == 200 and r.getheader("Content-Type") == "audio/pcm"
+    streamed = np.frombuffer(r.read(), np.int16)  # http.client de-chunks
+    ref_s = engine.synthesize("hello openai", language="english", seed=3,
+                              streaming=True)
+    np.testing.assert_array_equal(streamed, ref_s.audio_int16)
+    c.close()
+
+
+def test_openai_speech_validation_errors(gateway):
+    """Invalid requests come back as the OpenAI error envelope with the
+    offending param named — including stream-mode requests (pre-validated
+    before headers go out)."""
+    c = _conn(gateway)
+    cases = [
+        ({"input": ""}, "input"),
+        ({"input": "x", "response_format": "mp3"}, "response_format"),
+        ({"input": "x", "speed": 1.5}, "speed"),
+        ({"input": "x", "stream": True}, "response_format"),  # wav+stream
+        ({"input": "x", "voice": "/nonexistent/dir"}, "voice"),
+        ({"input": "x", "language": "klingon", "stream": True,
+          "response_format": "pcm"}, "language"),
+        ({"input": "x", "max_tokens": 0}, "max_tokens"),
+    ]
+    for body, param in cases:
+        c.request("POST", "/v1/audio/speech", body=json.dumps(body).encode())
+        r = c.getresponse()
+        err = json.loads(r.read())["error"]
+        assert r.status == 400, body
+        assert err["param"] == param and err["type"] == "invalid_request_error"
+    c.close()
+
+
 def test_stream_error_arrives_as_done_frame(gateway):
     """Early failures in stream mode must reach HTTP clients as a
     terminal done-frame with the error — not as a clean empty stream

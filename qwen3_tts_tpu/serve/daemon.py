@@ -674,7 +674,12 @@ def main(argv=None) -> int:
 
     from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
 
-    cfg = tiny_tts_config(max_tokens=32) if args.tiny else TTSConfig()
+    if args.tiny:
+        cfg = tiny_tts_config(max_tokens=32)
+    else:
+        # None -> TTSEngine detects geometry from the checkpoint header
+        # when model_dir has model.safetensors, else the 0.6B defaults
+        cfg = None if args.model_dir else TTSConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     quantize = args.quantize
     if quantize and args.batch > 0:
@@ -692,7 +697,7 @@ def main(argv=None) -> int:
     batcher = None
     if args.batch > 0:
         from qwen3_tts_tpu.serve.batching import ContinuousBatcher
-        batcher = ContinuousBatcher(cfg, engine.params,
+        batcher = ContinuousBatcher(engine.cfg, engine.params,
                                     batch_size=args.batch, dtype=dtype,
                                     decode_chunk=args.decode_chunk,
                                     paged=args.paged,

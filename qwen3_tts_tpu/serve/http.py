@@ -159,6 +159,10 @@ class _Handler(BaseHTTPRequestHandler):
             req["long"] = msg["long"]
         voice = msg.get("voice", "default")
         if voice not in ("default", "", None):
+            if self.daemon_ref.batcher is not None:
+                return self._openai_error(
+                    400, "voice cloning (prompt_dir) is engine-mode only; "
+                    "the batched daemon serves the default voice", "voice")
             if not os.path.isdir(voice):
                 return self._openai_error(
                     400, f"unknown voice {voice!r}: expected 'default' or a "

@@ -44,14 +44,14 @@ def _layer_tensors(prefix, i, H, I, q_dim, kv_dim, head_dim, gen):
     }
 
 
-def _talker_cp_state_dict():
+def _talker_cp_state_dict(cfg=CFG):
     """Synthetic checkpoint at tiny geometry with production names."""
     gen = torch.Generator().manual_seed(0)
 
     def w(*shape):
         return (0.02 * torch.randn(*shape, generator=gen)).to(torch.bfloat16)
 
-    t = CFG.talker
+    t = cfg.talker
     sd = {}
     for i in range(t.num_layers):
         sd.update(_layer_tensors("talker.model.layers", i, t.hidden_size,
@@ -70,7 +70,7 @@ def _talker_cp_state_dict():
                                                   t.hidden_size)
     sd["talker.codec_head.weight"] = w(t.codec_vocab_size, t.hidden_size)
 
-    c = CFG.code_predictor
+    c = cfg.code_predictor
     pre = "talker.code_predictor"
     for i in range(c.num_layers):
         sd.update(_layer_tensors(f"{pre}.model.layers", i, c.hidden_size,
@@ -296,3 +296,102 @@ def test_list_keys_and_schema_check(tmp_path):
                       "--list_keys", "--check_schema"])
     assert "SCHEMA decoder (vocoder): MISMATCH" in buf.getvalue()
     assert rc == 1
+
+
+# ---------------------------------------------------------------------------
+# Geometry auto-detection (header-only): the TPU-native equivalent of the
+# reference's shape-driven param detection (LLM_Qwen3TTS.hpp:307-323)
+# ---------------------------------------------------------------------------
+
+ALT = None  # built lazily: a geometry different from every tiny default
+
+
+def _alt_config():
+    import dataclasses
+
+    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+
+    talker = TalkerConfig(
+        num_layers=3, hidden_size=48, intermediate_size=96,
+        num_heads=6, num_kv_heads=3, head_dim=8,
+        text_vocab_size=512, text_embed_dim=24,
+        codec_vocab_size=3072, max_seq_len=64,
+    )
+    cp = CodePredictorConfig(
+        num_layers=2, hidden_size=48, intermediate_size=96,
+        num_heads=6, num_kv_heads=3, head_dim=8,
+        num_groups=15, group_vocab_size=64, max_seq_len=16,
+    )
+    return dataclasses.replace(tiny_tts_config(max_tokens=4),
+                               talker=talker, code_predictor=cp)
+
+
+def test_detect_tts_config_from_header(tmp_path):
+    """detect_tts_config derives every shape-derivable field from the
+    safetensors header of a checkpoint at a NON-default geometry, and
+    takes eps/theta from config.json's matching sub-config."""
+    import json
+
+    from safetensors.torch import save_file
+
+    alt = _alt_config()
+    save_file(_talker_cp_state_dict(alt), str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        "architectures": ["Qwen3TTSForConditionalGeneration"],
+        "talker_config": {
+            "num_hidden_layers": 3, "hidden_size": 48,
+            "rms_norm_eps": 1e-5, "rope_theta": 500000.0,
+            "code_predictor_config": {
+                "num_hidden_layers": 2, "hidden_size": 48,
+                "rms_norm_eps": 2e-5, "rope_theta": 10000.0,
+            },
+        },
+    }))
+
+    det = weights_io.detect_tts_config(str(tmp_path),
+                                       base=tiny_tts_config(max_tokens=4))
+    t, c = det.talker, det.code_predictor
+    at, ac = alt.talker, alt.code_predictor
+    assert (t.num_layers, t.hidden_size, t.intermediate_size) == (3, 48, 96)
+    assert (t.num_heads, t.num_kv_heads, t.head_dim) == (6, 3, 8)
+    assert (t.text_vocab_size, t.text_embed_dim) == (512, 24)
+    assert t.codec_vocab_size == at.codec_vocab_size
+    assert (t.rms_norm_eps, t.rope_theta) == (1e-5, 500000.0)
+    assert (c.num_layers, c.hidden_size, c.intermediate_size) == (2, 48, 96)
+    assert (c.num_heads, c.num_kv_heads, c.head_dim) == (6, 3, 8)
+    assert (c.num_groups, c.group_vocab_size) == (15, 64)
+    assert c.max_seq_len == 16
+    assert (c.rms_norm_eps, c.rope_theta) == (2e-5, 10000.0)
+    # serving policy stays the base's
+    assert det.max_tokens == 4
+    assert t.max_seq_len == tiny_tts_config().talker.max_seq_len
+
+    # no config.json -> defaults for the scalars, shapes still detected
+    (tmp_path / "config.json").unlink()
+    det2 = weights_io.detect_tts_config(str(tmp_path),
+                                        base=tiny_tts_config(max_tokens=4))
+    assert det2.talker.rms_norm_eps == tiny_tts_config().talker.rms_norm_eps
+    assert det2.talker.num_layers == 3
+
+
+def test_engine_synthesizes_at_detected_geometry(tmp_path):
+    """End-to-end: an engine built from the detected config loads the
+    alt-geometry checkpoint and synthesizes (vocoder random: shapes and
+    duration math are the contract under test)."""
+    import warnings
+
+    from safetensors.torch import save_file
+
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+
+    alt = _alt_config()
+    save_file(_talker_cp_state_dict(alt), str(tmp_path / "model.safetensors"))
+
+    det = weights_io.detect_tts_config(str(tmp_path),
+                                       base=tiny_tts_config(max_tokens=4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-vocoder warning expected
+        eng = TTSEngine(det, model_dir=str(tmp_path), dtype=jnp.float32)
+    res = eng.synthesize("geometry probe", language="english", seed=0)
+    assert res.n_tokens >= 1
+    assert len(res.audio_int16) == res.n_tokens * 1920

@@ -182,6 +182,55 @@ def test_openai_speech_validation_errors(gateway):
     c.close()
 
 
+def test_openai_speech_through_batched_daemon(gateway):
+    """The OpenAI surface works unchanged in front of a batched daemon:
+    concurrent pcm requests share the decode batch; 'voice' is rejected
+    up front (batched mode serves the default voice only)."""
+    import threading
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    engine, _, _ = gateway
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, socket_path="/tmp/unused_http_batched.sock",
+                       batcher=batcher)
+    srv = serve_http(daemon, host="127.0.0.1", port=0)
+    host, port = srv.server_address
+    batcher.start()
+    try:
+        results = {}
+
+        def call(i):
+            c = http.client.HTTPConnection(host, port, timeout=300)
+            c.request("POST", "/v1/audio/speech", body=json.dumps(
+                {"input": f"req {i}", "language": "english", "seed": i,
+                 "response_format": "pcm"}).encode())
+            r = c.getresponse()
+            results[i] = (r.status, np.frombuffer(r.read(), np.int16))
+            c.close()
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 3
+        for i, (status, pcm) in results.items():
+            assert status == 200 and len(pcm) % 1920 == 0 and len(pcm) > 0
+
+        c = http.client.HTTPConnection(host, port, timeout=300)
+        c.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "x", "voice": "/tmp"}).encode())
+        r = c.getresponse()
+        assert r.status == 400
+        assert json.loads(r.read())["error"]["param"] == "voice"
+        c.close()
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
 def test_stream_error_arrives_as_done_frame(gateway):
     """Early failures in stream mode must reach HTTP clients as a
     terminal done-frame with the error — not as a clean empty stream

@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                         "speech_tokenizer key schema (zero-filled tensors "
                         "at the declared shapes) and report exactly which "
                         "names mismatch")
+    p.add_argument("--detect_config", action="store_true",
+                   help="Print the geometry detected from the checkpoint "
+                        "header (io/weights.detect_tts_config) as JSON "
+                        "and exit")
     p.add_argument("--dump_embeddings", default=None,
                    help="Also dump text/codec embedding .npy files "
                         "(inspection parity with the reference's "
@@ -78,6 +82,18 @@ def main(argv=None) -> int:
 
     cfg = tiny_tts_config() if args.tiny else TTSConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.detect_config:
+        if args.model_dir is None:
+            p.error("--detect_config requires --model_dir")
+        import dataclasses
+        import json
+        det = weights_io.detect_tts_config(args.model_dir, base=cfg)
+        print(json.dumps({"talker": dataclasses.asdict(det.talker),
+                          "code_predictor":
+                              dataclasses.asdict(det.code_predictor)},
+                         indent=2))
+        return 0
 
     if args.list_keys:
         if args.model_dir is None:

@@ -12,6 +12,10 @@ all behave identically on both transports.
 Endpoints:
   GET  /health            -> 200 {"ok": true}
   GET  /v1/stats          -> 200 JSON (the daemon's stats snapshot)
+  GET  /metrics           -> 200 text/plain Prometheus exposition of the
+      same snapshot (counters as *_total, percentile dicts as summary
+      quantiles, batcher occupancy gauges), so standard scrapers work
+      against the daemon without an adapter.
   POST /v1/synthesize     -> body: the daemon's JSON request object
       default: 200 audio/wav (a complete WAV file; synthesis metadata in
       X-Ttsrt-* response headers)
@@ -89,13 +93,25 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routes -------------------------------------------------------------
 
+    def _stats_snapshot(self) -> dict:
+        payload = self.daemon_ref.handle(b'{"cmd": "stats"}')
+        header, _ = decode_response(payload)
+        return header
+
     def do_GET(self):
         if self.path == "/health":
             return self._json(200, {"ok": True})
         if self.path == "/v1/stats":
-            payload = self.daemon_ref.handle(b'{"cmd": "stats"}')
-            header, _ = decode_response(payload)
-            return self._json(200, header)
+            return self._json(200, self._stats_snapshot())
+        if self.path == "/metrics":
+            body = prometheus_text(self._stats_snapshot()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
         return self._json(404, {"error": f"no route {self.path!r}"})
 
     def _openai_error(self, code: int, message: str,
@@ -260,6 +276,45 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
         return None
+
+
+_COUNTERS = {"requests", "errors", "tokens"}  # monotonic -> *_total
+
+
+def prometheus_text(snap: dict, prefix: str = "qwen3_tts") -> str:
+    """Flatten the daemon's stats snapshot into Prometheus exposition
+    format: scalars become gauges (counters get the *_total suffix),
+    ``{"p50","p95","n"}`` percentile dicts become summary quantiles +
+    _count, nested dicts (batcher occupancy) flatten with underscores,
+    and the ``mode`` string rides as a label on an info gauge."""
+    lines = []
+
+    def emit(name: str, value, labels: str = "") -> None:
+        if isinstance(value, bool):
+            value = int(value)
+        if not isinstance(value, (int, float)):
+            return
+        lines.append(f"{name}{labels} {value}")
+
+    def walk(d: dict, path: str) -> None:
+        for k, v in d.items():
+            name = f"{path}_{k}"
+            if isinstance(v, dict):
+                if {"p50", "p95"} <= set(v):
+                    emit(name, v["p50"], '{quantile="0.5"}')
+                    emit(name, v["p95"], '{quantile="0.95"}')
+                    emit(name + "_count", v.get("n", 0))
+                else:
+                    walk(v, name)
+            elif k == "mode":
+                emit(f"{path}_mode_info", 1, f'{{mode="{v}"}}')
+            elif k in _COUNTERS and path == prefix:
+                emit(f"{name}_total", v)
+            else:
+                emit(name, v)
+
+    walk(snap, prefix)
+    return "\n".join(lines) + "\n"
 
 
 class HTTPFrameReader:

@@ -45,6 +45,32 @@ def test_health_and_stats(gateway):
     c.close()
 
 
+def test_metrics_prometheus_exposition(gateway):
+    """GET /metrics: counters as *_total, percentile summaries with
+    quantile labels, parseable name/value lines."""
+    c = _conn(gateway)
+    # at least one request so percentile summaries exist
+    c.request("POST", "/v1/synthesize", body=json.dumps(
+        {"text": "metrics probe", "language": "english", "seed": 1}).encode())
+    c.getresponse().read()
+    c.request("GET", "/metrics")
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type").startswith("text/plain")
+    text = r.read().decode()
+    metrics = {}
+    for line in text.strip().split("\n"):
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)
+    assert metrics["qwen3_tts_requests_total"] >= 1
+    assert metrics["qwen3_tts_errors_total"] >= 0
+    assert metrics["qwen3_tts_tokens_total"] >= 1
+    assert 'qwen3_tts_rtf{quantile="0.5"}' in metrics
+    assert 'qwen3_tts_total_seconds{quantile="0.95"}' in metrics
+    assert metrics['qwen3_tts_mode_info{mode="engine"}'] == 1
+    c.close()
+
+
 def test_blob_synthesis_is_a_wav(gateway):
     engine, _, _ = gateway
     c = _conn(gateway)

@@ -327,12 +327,19 @@ static bool send_exact(int fd, const void* buf, size_t n) {
 
 void ttsrt_serve_stop(void) { g_stop_flag.store(1); }
 
+// Re-arm after a previous stop. Deliberately a SEPARATE call from
+// ttsrt_serve_unix: if the loop itself cleared the flag at entry, a
+// stop() racing the worker thread's loop entry (e.g. a SIGTERM between
+// thread start and the C call) would be silently erased and the first
+// signal lost. Callers reset, then re-check their own stop state, then
+// enter the loop — stop() is sticky from that point on.
+void ttsrt_serve_reset(void) { g_stop_flag.store(0); }
+
 // Serves until ttsrt_serve_stop() or error. Returns 0 on clean stop.
 // max_req / resp_cap bound message sizes (the reference bounds at 64 KiB
 // for headers; audio responses need more).
 int ttsrt_serve_unix(const char* socket_path, ttsrt_handler handler,
                      int64_t max_req, int64_t resp_cap) {
-  g_stop_flag.store(0);
   unlink(socket_path);
   int srv = socket(AF_UNIX, SOCK_STREAM, 0);
   if (srv < 0) return -1;

@@ -246,8 +246,14 @@ class TTSEngine:
         """Load a voice-cloning prompt_dir (ref_codec_tokens.npy +
         optional ref_text.txt — the format tools/encode_reference_audio.py
         writes, mirroring the reference's prep script)."""
-        codes = np.load(os.path.join(prompt_dir, "ref_codec_tokens.npy"))
-        codes = np.asarray(codes, np.int32)[:, :16]
+        try:
+            codes = np.load(os.path.join(prompt_dir, "ref_codec_tokens.npy"))
+            codes = np.asarray(codes, np.int32)[:, :16]
+        except Exception as e:
+            # self-identifying message: serving tiers classify
+            # "prompt_dir" errors as client-fixable (bad voice), not
+            # server faults
+            raise ValueError(f"invalid prompt_dir {prompt_dir!r}: {e}") from e
         txt_path = os.path.join(prompt_dir, "ref_text.txt")
         ref_text = ""
         if os.path.exists(txt_path):

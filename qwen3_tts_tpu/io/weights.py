@@ -383,8 +383,13 @@ def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
                     num_heads=q_out // head_dim,
                     num_kv_heads=kv_out // head_dim)
 
-    # eps/theta from config.json (shape-underivable), matched by depth
-    def json_scalars(num_layers: int, hidden: int) -> dict:
+    # eps/theta from config.json (shape-underivable). Candidate
+    # sub-configs are matched by (num_hidden_layers, hidden_size) and
+    # disambiguated by key path ("code_predictor" in the path vs not):
+    # when talker and CP share a depth/width, a first-match walk would
+    # silently hand the CP the talker's scalars (review finding). Each
+    # scalar is taken from the best-ranked candidate that has it.
+    def json_scalars(num_layers: int, hidden: int, want_cp: bool) -> dict:
         path = os.path.join(model_dir, "config.json")
         if not os.path.exists(path):
             return {}
@@ -393,24 +398,29 @@ def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
                 tree = json.load(f)
         except Exception:
             return {}
-        found: dict = {}
+        cands: list = []  # (path string, node)
 
-        def walk(node):
+        def walk(node, npath):
             if isinstance(node, dict):
                 if (node.get("num_hidden_layers") == num_layers
-                        and node.get("hidden_size", hidden) == hidden
-                        and not found):
-                    for src, dst in (("rms_norm_eps", "rms_norm_eps"),
-                                     ("rope_theta", "rope_theta")):
-                        if isinstance(node.get(src), (int, float)):
-                            found[dst] = float(node[src])
-                for v in node.values():
-                    walk(v)
+                        and node.get("hidden_size", hidden) == hidden):
+                    cands.append((npath, node))
+                for k, v in node.items():
+                    walk(v, f"{npath}.{k}")
             elif isinstance(node, list):
                 for v in node:
-                    walk(v)
+                    walk(v, npath)
 
-        walk(tree)
+        walk(tree, "")
+        cands.sort(key=lambda c: (("code_predictor" in c[0] or
+                                   "mtp" in c[0]) == want_cp),
+                   reverse=True)
+        found: dict = {}
+        for _, node in cands:
+            for key in ("rms_norm_eps", "rope_theta"):
+                if key not in found and isinstance(node.get(key),
+                                                   (int, float)):
+                    found[key] = float(node[key])
         return found
 
     tg = stack_geo("talker.model.layers")
@@ -419,7 +429,7 @@ def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
     talker = dataclasses.replace(
         base.talker, **tg, text_vocab_size=text_vocab,
         text_embed_dim=text_dim, codec_vocab_size=codec_vocab,
-        **json_scalars(tg["num_layers"], tg["hidden_size"]))
+        **json_scalars(tg["num_layers"], tg["hidden_size"], want_cp=False))
 
     cg = stack_geo("talker.code_predictor.model.layers")
     pat = re.compile(r"talker\.code_predictor\.lm_head\.(\d+)\.weight")
@@ -433,7 +443,7 @@ def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
         group_vocab_size=group_vocab,
         # 2-token prefill + (num_groups - 1) decode steps
         max_seq_len=num_groups + 1,
-        **json_scalars(cg["num_layers"], cg["hidden_size"]))
+        **json_scalars(cg["num_layers"], cg["hidden_size"], want_cp=True))
 
     return dataclasses.replace(base, talker=talker, code_predictor=cp)
 

@@ -84,6 +84,8 @@ def _load() -> Optional[ctypes.CDLL]:
 
     lib.ttsrt_serve_unix.restype = ctypes.c_int
     lib.ttsrt_serve_stop.restype = None
+    if hasattr(lib, "ttsrt_serve_reset"):  # absent in pre-r3 builds
+        lib.ttsrt_serve_reset.restype = None
     _LIB = lib
     return lib
 
@@ -296,7 +298,10 @@ def serve_unix(socket_path: str, handler, max_req: int = 1 << 20,
     send_frame)`` either returns response bytes (single framed response) or
     calls ``send_frame(payload)`` one or more times — each call writes
     ``[u32 len][payload]`` straight to the connection (chunked/streaming
-    responses) — and returns None. Blocks until ``serve_stop()``. Native
+    responses) — and returns None. Blocks until ``serve_stop()``. The
+    stop flag is process-global and sticky: call ``serve_reset()`` before
+    entering if a previous ``serve_stop()`` may have fired (the loop does
+    NOT clear it itself, so a stop racing the entry is honored). Native
     library required (serve/daemon.py falls back to a pure-Python loop
     otherwise)."""
     lib = _load()
@@ -330,3 +335,12 @@ def serve_stop() -> None:
     lib = _load()
     if lib is not None:
         lib.ttsrt_serve_stop()
+
+
+def serve_reset() -> None:
+    """Re-arm the (process-global) native stop flag before entering
+    serve_unix. Separate from the loop entry so a stop() racing it is
+    sticky rather than erased (see ttsrt.cc)."""
+    lib = _load()
+    if lib is not None and hasattr(lib, "ttsrt_serve_reset"):
+        lib.ttsrt_serve_reset()

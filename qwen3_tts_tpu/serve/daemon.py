@@ -475,7 +475,19 @@ class TTSDaemon:
                 self.batcher.stop()
             return
         if native_loop and native.available():
-            native.serve_unix(self.socket_path, self.handle)
+            if self._stop.is_set():
+                return
+            # re-arm the (process-global) native stop flag OUTSIDE the C
+            # loop, then re-check: a stop()/SIGTERM racing the loop entry
+            # is honored instead of erased (review finding; ttsrt.cc)
+            native.serve_reset()
+            if self._stop.is_set():
+                return
+            rc = native.serve_unix(self.socket_path, self.handle)
+            if rc != 0 and not self._stop.is_set():
+                raise RuntimeError(
+                    f"native serve loop failed (rc={rc}) on "
+                    f"{self.socket_path}")
             return
         self._serve_python()
 
@@ -727,9 +739,15 @@ def main(argv=None) -> int:
         signal.signal(sig, _on_signal)
 
     print(f"TTS daemon listening on {args.socket}", flush=True)
-    server = threading.Thread(
-        target=daemon.serve, kwargs={"native_loop": not args.python_loop},
-        daemon=True)
+    serve_error: list = []
+
+    def _serve():
+        try:
+            daemon.serve(native_loop=not args.python_loop)
+        except BaseException as e:  # propagate to main's exit code
+            serve_error.append(e)
+
+    server = threading.Thread(target=_serve, daemon=True)
     server.start()
     try:
         while server.is_alive():
@@ -739,6 +757,9 @@ def main(argv=None) -> int:
         server.join(timeout=30.0)
         if srv is not None:
             srv.shutdown()
+    if serve_error:
+        print(f"serve loop failed: {serve_error[0]!r}", flush=True)
+        return 1
     return 0
 
 

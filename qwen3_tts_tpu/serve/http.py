@@ -52,6 +52,7 @@ from typing import Optional
 
 import numpy as np
 
+from qwen3_tts_tpu.config import SAMPLE_RATE
 from qwen3_tts_tpu.serve.daemon import TTSDaemon, decode_response
 
 
@@ -115,9 +116,10 @@ class _Handler(BaseHTTPRequestHandler):
         return self._json(404, {"error": f"no route {self.path!r}"})
 
     def _openai_error(self, code: int, message: str,
-                      param: Optional[str] = None) -> None:
+                      param: Optional[str] = None,
+                      etype: str = "invalid_request_error") -> None:
         self._json(code, {"error": {"message": message,
-                                    "type": "invalid_request_error",
+                                    "type": etype,
                                     "param": param}})
 
     def _audio_speech(self) -> None:
@@ -159,8 +161,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._openai_error(
                 400, f"unsupported language {language!r}; expected one of "
                 f"{SUPPORTED_LANGUAGES}", "language")
-        req = {"text": text, "language": language,
-               "seed": int(msg.get("seed", 0))}
+        try:
+            seed = int(msg.get("seed") or 0)
+        except (TypeError, ValueError):
+            return self._openai_error(400, "seed must be an int", "seed")
+        req = {"text": text, "language": language, "seed": seed}
         if "max_tokens" in msg and msg["max_tokens"] is not None:
             try:
                 mt = int(msg["max_tokens"])
@@ -175,14 +180,19 @@ class _Handler(BaseHTTPRequestHandler):
             req["long"] = msg["long"]
         voice = msg.get("voice", "default")
         if voice not in ("default", "", None):
+            if not isinstance(voice, str):
+                return self._openai_error(400, "voice must be a string",
+                                          "voice")
             if self.daemon_ref.batcher is not None:
                 return self._openai_error(
                     400, "voice cloning (prompt_dir) is engine-mode only; "
                     "the batched daemon serves the default voice", "voice")
-            if not os.path.isdir(voice):
+            if not os.path.isdir(voice) or not os.path.exists(
+                    os.path.join(voice, "ref_codec_tokens.npy")):
                 return self._openai_error(
                     400, f"unknown voice {voice!r}: expected 'default' or a "
-                    "prompt_dir created by encode_reference_audio", "voice")
+                    "prompt_dir created by encode_reference_audio "
+                    "(ref_codec_tokens.npy)", "voice")
             req["prompt_dir"] = voice
         raw = json.dumps(dict(req, stream=stream,
                               streaming=stream)).encode()
@@ -190,12 +200,16 @@ class _Handler(BaseHTTPRequestHandler):
         if stream:
             self.send_response(200)
             self.send_header("Content-Type", "audio/pcm")
-            self.send_header("X-Ttsrt-Sample-Rate", "24000")
+            self.send_header("X-Ttsrt-Sample-Rate", str(SAMPLE_RATE))
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            err: list = []
 
             def send_frame(frame: bytes) -> None:
-                _, audio = decode_response(frame)
+                header, audio = decode_response(frame)
+                if "error" in header:
+                    err.append(header["error"])
+                    return
                 pcm = audio.tobytes()
                 if pcm:
                     self.wfile.write(f"{len(pcm):x}\r\n".encode()
@@ -203,7 +217,20 @@ class _Handler(BaseHTTPRequestHandler):
                     self.wfile.flush()
 
             with self._engine_serial():
-                self.daemon_ref.handle(raw, send_frame)
+                resp = self.daemon_ref.handle(raw, send_frame)
+            if resp is not None:
+                # early failures come back as a blob, not via send_frame
+                header, _ = decode_response(resp)
+                if "error" in header:
+                    err.append(header["error"])
+            if err:
+                # raw pcm has no frame envelope to carry the error, so
+                # abort WITHOUT the chunked terminator: the client sees a
+                # truncated transfer (IncompleteRead), never a clean EOF
+                # indistinguishable from short audio (review finding)
+                self.log_error("stream aborted: %s", err[0])
+                self.close_connection = True
+                return None
             self.wfile.write(b"0\r\n\r\n")
             return None
 
@@ -211,13 +238,20 @@ class _Handler(BaseHTTPRequestHandler):
             payload = self.daemon_ref.handle(raw)
         header, audio = decode_response(payload)
         if "error" in header:
-            return self._openai_error(400, header["error"])
+            # client-side params were pre-validated above, so anything
+            # the daemon/engine rejects now is either the voice dir's
+            # CONTENT (client-fixable -> 400) or a server fault (-> 500,
+            # type server_error: OpenAI SDKs treat 4xx as non-retryable)
+            m = str(header["error"])
+            if "prompt_dir" in m:
+                return self._openai_error(400, m, "voice")
+            return self._openai_error(500, m, None, etype="server_error")
         body = _wav_bytes(audio) if fmt == "wav" else audio.tobytes()
         self.send_response(200)
         self.send_header("Content-Type",
                          "audio/wav" if fmt == "wav" else "audio/pcm")
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("X-Ttsrt-Sample-Rate", "24000")
+        self.send_header("X-Ttsrt-Sample-Rate", str(SAMPLE_RATE))
         self.end_headers()
         self.wfile.write(body)
         return None

@@ -367,3 +367,41 @@ def test_daemon_main_sigterm_graceful(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_stop_before_serve_is_sticky(engine, tmp_path):
+    """A stop() that lands before serve() enters its loop must win:
+    serve() returns promptly instead of erasing the stop and blocking
+    forever (review finding: the native loop used to reset the stop flag
+    at entry, losing a SIGTERM that raced the worker-thread startup)."""
+    daemon = TTSDaemon(engine, str(tmp_path / "sticky.sock"))
+    daemon.stop()
+    t0 = time.time()
+    daemon.serve()  # native loop when built, python loop otherwise
+    assert time.time() - t0 < 5.0
+
+
+def test_serve_python_bind_failure_raises(engine):
+    """Socket-path failures surface as exceptions, not silent returns."""
+    import pytest
+
+    daemon = TTSDaemon(engine, "/nonexistent_dir_xyz/d.sock")
+    with pytest.raises(OSError):
+        daemon.serve(native_loop=False)
+
+
+def test_daemon_main_exit_nonzero_on_serve_failure(tmp_path):
+    """main() must exit non-zero when the serve loop dies (review
+    finding: the worker-thread move made crashes exit 0, so supervisors
+    with Restart=on-failure never restarted a dead daemon)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "qwen3_tts_tpu.serve.daemon",
+         "--tiny", "--platform", "cpu", "--python_loop",
+         "--socket", "/nonexistent_dir_xyz/d.sock"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=420)
+    out = proc.stdout.decode(errors="replace")
+    assert proc.returncode == 1, out
+    assert "serve loop failed" in out

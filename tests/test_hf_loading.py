@@ -303,9 +303,6 @@ def test_list_keys_and_schema_check(tmp_path):
 # reference's shape-driven param detection (LLM_Qwen3TTS.hpp:307-323)
 # ---------------------------------------------------------------------------
 
-ALT = None  # built lazily: a geometry different from every tiny default
-
-
 def _alt_config():
     import dataclasses
 
@@ -372,6 +369,40 @@ def test_detect_tts_config_from_header(tmp_path):
                                         base=tiny_tts_config(max_tokens=4))
     assert det2.talker.rms_norm_eps == tiny_tts_config().talker.rms_norm_eps
     assert det2.talker.num_layers == 3
+
+
+def test_detect_scalars_disambiguate_same_depth_stacks(tmp_path):
+    """When talker and CP share (num_hidden_layers, hidden_size), the
+    config.json scalar match must pick each stack's OWN sub-config by key
+    path, not first-match (review finding: the CP silently inherited the
+    talker's rope_theta)."""
+    import dataclasses
+    import json
+
+    from safetensors.torch import save_file
+
+    alt = _alt_config()
+    # force identical depth/width on both stacks
+    alt = dataclasses.replace(
+        alt,
+        talker=dataclasses.replace(alt.talker, num_layers=2),
+        code_predictor=dataclasses.replace(alt.code_predictor, num_layers=2))
+    save_file(_talker_cp_state_dict(alt), str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        "talker_config": {
+            "num_hidden_layers": 2, "hidden_size": 48,
+            "rms_norm_eps": 1e-5, "rope_theta": 500000.0,
+            "code_predictor_config": {
+                "num_hidden_layers": 2, "hidden_size": 48,
+                "rms_norm_eps": 2e-5, "rope_theta": 10000.0,
+            },
+        },
+    }))
+    det = weights_io.detect_tts_config(str(tmp_path),
+                                       base=tiny_tts_config(max_tokens=4))
+    assert (det.talker.rms_norm_eps, det.talker.rope_theta) == (1e-5, 5e5)
+    assert (det.code_predictor.rms_norm_eps,
+            det.code_predictor.rope_theta) == (2e-5, 1e4)
 
 
 def test_engine_synthesizes_at_detected_geometry(tmp_path):

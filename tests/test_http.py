@@ -208,6 +208,48 @@ def test_openai_speech_validation_errors(gateway):
     c.close()
 
 
+def test_openai_stream_error_aborts_transfer(gateway, tmp_path):
+    """A post-header failure in stream mode must NOT end as a clean,
+    well-terminated empty stream: the gateway aborts the chunked body so
+    the client sees a transport error (review finding). Triggered by a
+    voice dir that passes the pre-checks but holds a corrupt
+    ref_codec_tokens.npy."""
+    bad = tmp_path / "voice"
+    bad.mkdir()
+    (bad / "ref_codec_tokens.npy").write_bytes(b"definitely not npy")
+    c = _conn(gateway)
+    c.request("POST", "/v1/audio/speech", body=json.dumps(
+        {"input": "x", "response_format": "pcm", "stream": True,
+         "voice": str(bad)}).encode())
+    r = c.getresponse()
+    assert r.status == 200  # headers were already out
+    with pytest.raises(Exception):  # IncompleteRead / connection error
+        r.read()
+    c.close()
+
+
+def test_openai_bad_voice_content_is_400(gateway, tmp_path):
+    """Non-stream: a corrupt voice dir maps to 400 param=voice (the
+    engine's prompt_dir errors are client-fixable), while the error
+    envelope type stays invalid_request_error."""
+    bad = tmp_path / "voice"
+    bad.mkdir()
+    (bad / "ref_codec_tokens.npy").write_bytes(b"definitely not npy")
+    c = _conn(gateway)
+    c.request("POST", "/v1/audio/speech", body=json.dumps(
+        {"input": "x", "voice": str(bad)}).encode())
+    r = c.getresponse()
+    err = json.loads(r.read())["error"]
+    assert r.status == 400 and err["param"] == "voice"
+    # bad seed types are 400 too, not a dropped connection
+    c.request("POST", "/v1/audio/speech", body=json.dumps(
+        {"input": "x", "seed": "abc"}).encode())
+    r = c.getresponse()
+    err = json.loads(r.read())["error"]
+    assert r.status == 400 and err["param"] == "seed"
+    c.close()
+
+
 def test_openai_speech_through_batched_daemon(gateway):
     """The OpenAI surface works unchanged in front of a batched daemon:
     concurrent pcm requests share the decode batch; 'voice' is rejected

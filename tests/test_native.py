@@ -86,6 +86,9 @@ def test_serve_unix_roundtrip(tmp_path):
             return None
         return b"echo:" + req
 
+    # the stop flag is process-global and STICKY (a racing stop() must
+    # not be erased by the loop entry) — raw serve_unix callers re-arm
+    native.serve_reset()
     t = threading.Thread(target=native.serve_unix,
                          args=(sock_path, handler), daemon=True)
     t.start()

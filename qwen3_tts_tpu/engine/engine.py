@@ -66,16 +66,21 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256)) -> int:
     return buckets[-1]
 
 
+def _pacing_bound(budget_cap: int, n_text: int) -> int:
+    """Tightest known bound on generated tokens. For n_text > 0 the
+    EOS-pacing force (progress > 2.0, ops/sampling.py:125) guarantees
+    n <= 6*n_text + 1; n_text == 0 pins progress to 0 and disables pacing
+    entirely, so only the budget bounds the decode — bounding by 6*0+2
+    there would silently truncate audio. ONE definition shared by the
+    chained non-streaming window and the streaming optimistic windows
+    (review finding: two inline copies could drift)."""
+    return min(budget_cap, (6 * n_text + 2) if n_text > 0 else budget_cap)
+
+
 def _chained_voc_window(budget_cap: int, n_text: int) -> int:
     """Static vocoder window (tokens) for the chained non-streaming path:
-    bucket of the tightest known decode bound plus one zero-code
-    lookahead token. For n_text > 0 the EOS-pacing force (progress > 2.0,
-    ops/sampling.py:125) guarantees n <= 6*n_text + 1; n_text == 0 pins
-    progress to 0 and disables pacing entirely, so only the budget bounds
-    the decode — sizing from 6*0+2 there would silently truncate the
-    audio past the window."""
-    pace = (6 * n_text + 2) if n_text > 0 else budget_cap
-    return voc.voc_bucket(min(budget_cap, pace) + 1)
+    bucket of the pacing bound plus one zero-code lookahead token."""
+    return voc.voc_bucket(_pacing_bound(budget_cap, n_text) + 1)
 
 
 def _enable_compile_cache() -> None:
@@ -114,8 +119,13 @@ class TTSEngine:
             # without a hand-written config
             cfg = weights_io.detect_tts_config(model_dir)
         self.cfg = cfg or TTSConfig()
-        self.params = params if params is not None else weights_io.load_params(
-            model_dir, self.cfg, dtype, seed)
+        # shallow-copy caller-supplied params: quantize below REPLACES
+        # component entries, and mutating the caller's dict in place would
+        # silently hand other consumers the quantized weights (review
+        # finding; ContinuousBatcher already copies the same way)
+        self.params = (dict(params) if params is not None
+                       else weights_io.load_params(model_dir, self.cfg,
+                                                   dtype, seed))
         if quantize in ("int8", "int8-cp"):
             # weight-only int8 (the reference's GGUF Q4_K_M / Q4_0 tier;
             # vocoder stays FP32 — ops/quant.py). "int8-cp" quantizes only
@@ -148,8 +158,7 @@ class TTSEngine:
             # int16 conversion ON DEVICE: halves the audio d2h transfer
             # (0.5 MB -> 0.25 MB per 64-token window through the tunnel);
             # same values as voc.to_int16 (which passes int16 through)
-            a = voc.decode(vp, codes, c.vocoder)
-            return jnp.clip(a * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+            return voc.to_int16_device(voc.decode(vp, codes, c.vocoder))
 
         self._voc_chunk = jax.jit(_voc_fn)
 
@@ -645,14 +654,7 @@ class TTSEngine:
                     if decoded < budget_cap:
                         state = self._run_chunk(
                             tp, cpp, state, jnp.int32(budget_cap - decoded))
-                    # n_text == 0 disables EOS pacing (see the chained
-                    # path above): fall back to the full budget so the
-                    # optimistic windows still cover the decode (the
-                    # host-window remainder below would stay correct
-                    # either way, but off the overlapped fast path)
-                    bound = min(budget_cap,
-                                (6 * n_text_i + 2) if n_text_i > 0
-                                else budget_cap)
+                    bound = _pacing_bound(budget_cap, n_text_i)
                     while rendered < min(bound, T_buf) - 1:
                         end = min(rendered + VOC_CHUNK_SIZE, bound - 1,
                                   T_buf - 1)
@@ -740,10 +742,12 @@ class TTSEngine:
 
         with timer.stage("decode"):
             # distinct per-element streams (duplicate texts in one batch
-            # should not produce identical audio)
-            key = jax.random.split(jax.random.PRNGKey(seed), B)
+            # should not produce identical audio); the host key + in-jit
+            # split avoids ~2 eager tunnel dispatches per call (review
+            # finding; same rationale as smp.host_prng_key)
             state = self._batch_prefill(tp, jnp.asarray(ids_np),
-                                        jnp.asarray(n_text_np), key)
+                                        jnp.asarray(n_text_np),
+                                        smp.host_prng_key(seed))
             state = self._decode_pipelined(
                 tp, cpp, state,
                 budget=(min(int(max_tokens), self.cfg.max_tokens)
@@ -916,9 +920,11 @@ class TTSEngine:
     def _batch_prefill(self):
         if not hasattr(self, "_batch_prefill_fn"):
             def fn(tp, ids, n_text, key):
+                keys = jax.random.split(key, ids.shape[0])
                 prefix, plen = jax.vmap(
                     lambda i, n: tk.build_prefix(tp, i, n))(ids, n_text)
                 prefix = prefix.astype(tp["codec_embedding"].dtype)
-                return gen.init_state(tp, prefix, plen, n_text, key, self.cfg)
+                return gen.init_state(tp, prefix, plen, n_text, keys,
+                                      self.cfg)
             self._batch_prefill_fn = jax.jit(fn)
         return self._batch_prefill_fn

@@ -521,6 +521,14 @@ def synthesize_chunked(
     return result
 
 
+def to_int16_device(audio):
+    """On-device analog of to_int16: clip+scale inside the jitted vocoder
+    program so every audio d2h transfer moves int16, not float32 (halves
+    tunnel bytes; engine and batcher share this)."""
+    import jax.numpy as jnp
+    return jnp.clip(audio * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
+
 def to_int16(audio: np.ndarray) -> np.ndarray:
     """float [-1,1] -> int16 with the reference's clip (vocoder_server.py:175).
     int16 input passes through (engine chunk programs convert on device)."""

@@ -50,7 +50,7 @@ class _Request:
         # un-admitted request: _admit skips it instead of decoding a full
         # utterance for a dead connection
         self.cancelled = False
-        # streaming: called with each new float32 audio segment as soon
+        # streaming: called with each new int16 audio segment as soon
         # as its tokens are final (conv-exact windows, paced emissions).
         # Runs on the SCHEDULER thread — it must not block (queue the
         # segment and return; serve/daemon._handle_batched does this)
@@ -323,16 +323,22 @@ class ContinuousBatcher:
                                  mesh=mesh if paged else None)
 
         self._run = jax.jit(_run_fn)
+        # int16 on device: halves every audio d2h through the tunnel —
+        # the serving tier fetches per-emission windows, so it benefits
+        # even more than the CLI path (review finding); voc.to_int16
+        # passes int16 through, so daemon consumers are unchanged
         self._voc = jax.jit(
-            lambda vp, codes: voc.decode(vp, codes, cfg.vocoder))
+            lambda vp, codes: voc.to_int16_device(
+                voc.decode(vp, codes, cfg.vocoder)))
 
         def _voc_slot_fn(vp, codes_row, W):
             # one slot's codes (T, 16), padded/sliced to a static W-token
             # window (vocoder.pad_codes — shared with the engine's
             # _voc_pad), decoded on device: dispatched on the DEVICE
             # value so the vocoder starts before any codes fetch completes
-            return voc.decode(vp, voc.pad_codes(codes_row, W)[None],
-                              cfg.vocoder)
+            return voc.to_int16_device(
+                voc.decode(vp, voc.pad_codes(codes_row, W)[None],
+                           cfg.vocoder))
 
         self._voc_slot = jax.jit(_voc_slot_fn, static_argnames=("W",))
 
@@ -342,11 +348,12 @@ class ContinuousBatcher:
                seed: int = 0, max_tokens: Optional[int] = None,
                on_chunk=None) -> Future:
         """Queue a request; the Future resolves to
-        (codes np[T,16], audio float32 np). ``max_tokens``: per-request
+        (codes np[T,16], audio int16 np — converted on device; pass it
+        straight to wav writers/``voc.to_int16``). ``max_tokens``: per-request
         cap — the slot stops (and frees) at that many tokens.
 
         ``on_chunk``: streaming — called FROM THE SCHEDULER THREAD (it
-        must queue and return, never block) with each new float32 audio
+        must queue and return, never block) with each new int16 audio
         segment once its tokens are final, paced at >= 48 new tokens per
         emission (final segment always flushes). Segments are conv-exact
         full-left-context windows, so their concatenation is
@@ -393,6 +400,12 @@ class ContinuousBatcher:
             # device state would corrupt it — idempotent no-op instead
             return
         self._closed = False
+        # re-arm the stop flag: a clean stop() clears it, but the
+        # 3-consecutive-failure halt leaves it SET — without this a
+        # recovery start() would spawn a thread that exits immediately
+        # while submits re-open and their Futures hang forever (review
+        # finding)
+        self._stop.clear()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -618,9 +631,16 @@ class ContinuousBatcher:
         # The rows beyond the prefix land inside the slot's pages but are
         # never read before the decode loop overwrites them (attention is
         # masked to rows <= pos, and the row at pos is written first).
-        self._state = self._insert_paged(
-            self._state, jnp.int32(slot), sub, jnp.asarray(table_row),
-            jnp.int32(need * psz), n_rows=s_pre)
+        try:
+            self._state = self._insert_paged(
+                self._state, jnp.int32(slot), sub, jnp.asarray(table_row),
+                jnp.int32(need * psz), n_rows=s_pre)
+        except BaseException:
+            # the insert failed before the pages were recorded in
+            # _slot_pages: return them to the pool or they leak forever,
+            # draining it until every admit backlogs (review finding)
+            free.extend(pages)
+            raise
         self._slot_pages[slot] = pages
         return True
 
@@ -687,6 +707,12 @@ class ContinuousBatcher:
         for slot in range(self.batch_size):
             req = self._slot_req[slot]
             if req is None or req.on_chunk is None:
+                continue
+            if req.stream_error is not None:
+                # a failed window fetch left a hole that cannot be
+                # re-rendered — emitting later windows would stream audio
+                # with a silent gap (review finding); stop emitting and
+                # let the finish path surface the error
                 continue
             n = int(n_codes[slot])
             end = n if done[slot] else max(n - 1, 0)
@@ -773,7 +799,7 @@ class ContinuousBatcher:
                     # the exact windows; the blob result is their concat
                     audio = (np.concatenate(req.audio_parts)
                              if req.audio_parts
-                             else np.zeros((0,), np.float32))
+                             else np.zeros((0,), np.int16))
                 elif slot in voc_futs:
                     audio = np.asarray(voc_futs[slot])[0][:n * spt]
                 else:  # n == 0 or > 256 tokens

@@ -477,3 +477,32 @@ def test_cancelled_request_is_skipped(monkeypatch):
         f.result(timeout=1)
     codes, audio = f2.result(timeout=1)   # queue kept flowing
     assert len(audio) == len(codes) * 1920
+
+
+def test_restart_after_failure_halt():
+    """start() after the 3-consecutive-failure halt must re-arm the stop
+    flag: without it the recovery thread exits immediately while submits
+    re-open, hanging their Futures forever (review finding)."""
+    import time as _time
+
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32)
+    orig_step = b.step
+    b.step = lambda: (_ for _ in ()).throw(RuntimeError("injected"))
+    b.start()
+    deadline = _time.time() + 30
+    while not b._stop.is_set() and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert b._stop.is_set(), "failure halt never engaged"
+    b._thread.join(timeout=10)
+
+    # recovery: restore a working step and start again
+    b.step = orig_step
+    b.start()
+    try:
+        ids, n = _ids("recover")
+        codes, audio = b.submit(ids, n, seed=1).result(timeout=300)
+        assert len(audio) == len(codes) * 1920
+    finally:
+        b.stop()

@@ -198,7 +198,14 @@ def run_steps(
     """
     tts_pad_embed = tk.embed_text(
         talker_params, jnp.array([TTS_PAD_TOKEN_ID]))[0]
-    stop_step = state.step + jnp.asarray(max_steps, jnp.int32)
+    # rebase the step counter per invocation: the serving tier carries ONE
+    # GenState for the daemon's lifetime, and a cumulative int32 counter
+    # would overflow after ~2^31 lockstep iterations — stop_step wraps
+    # negative and every later chunk returns without progress (review
+    # finding). step is only ever "iterations this run"; per-slot token
+    # accounting lives in n_codes/budget.
+    state = state._replace(step=jnp.int32(0))
+    stop_step = jnp.asarray(max_steps, jnp.int32)
     # hoisted rope table for the fused-step kernel (computed once per
     # invocation, closed over by the loop body — NOT rebuilt per token)
     if isinstance(state.kv, jax.Array):

@@ -141,9 +141,10 @@ def causal_trans_conv1d(x: jax.Array, w: jax.Array, b: jax.Array, *,
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (w * (xf * jax.lax.rsqrt(var + eps))).astype(x.dtype)
+    # one RMSNorm definition for the whole framework (vocoder inputs are
+    # fp32, so transformer.rms_norm's fp32-weight cast is a no-op here)
+    from qwen3_tts_tpu.models.transformer import rms_norm as _tfm_rms_norm
+    return _tfm_rms_norm(x, w, eps)
 
 
 def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
@@ -405,7 +406,11 @@ def synthesize_exact(decode_fn, codes: np.ndarray,
     longer utterances fall back to conv-exact left-context chunking.
 
     ``decode_fn`` takes (1, W, 16) int32 for any bucketed W and returns
-    (1, W*1920) samples (float32 or device-converted int16)."""
+    (1, W*1920) samples (float32 or device-converted int16). NOTE: the
+    n == 0 early-exit below returns an empty FLOAT32 array regardless of
+    decode_fn's dtype — callers mixing dtypes must normalize (both
+    serving tiers do: engine via voc.to_int16, batcher special-cases
+    n == 0)."""
     n = len(codes)
     if n == 0:
         return np.zeros((0,), np.float32)
@@ -525,7 +530,6 @@ def to_int16_device(audio):
     """On-device analog of to_int16: clip+scale inside the jitted vocoder
     program so every audio d2h transfer moves int16, not float32 (halves
     tunnel bytes; engine and batcher share this)."""
-    import jax.numpy as jnp
     return jnp.clip(audio * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
 

@@ -71,7 +71,11 @@ def _project_in(params: Params, x: jax.Array) -> jax.Array:
 def _fused_kernel_ok(params: Params, B: int,
                      cfg: CodePredictorConfig) -> bool:
     """The VMEM-resident Pallas path (ops/pallas/cp_decode.py) applies to
-    int8-quantized params, batch 1, TPU backend, MXU-aligned geometry."""
+    int8-quantized params, batch <= 8 (the kernel vectorizes over rows;
+    past 8 the scan path wins), single TPU chip, MXU-aligned geometry.
+    Kept separate from talker._fused_step_ok deliberately: the two gates
+    check different layouts (lm_heads QTensor vs fused-int8 stack),
+    different KV forms, and different batch bounds."""
     import os
 
     from qwen3_tts_tpu.ops.quant import QTensor
@@ -110,7 +114,14 @@ def predict_codes(
 
     Randomness is PER ELEMENT: element i's draws depend only on key[i]
     (a (2,) key is broadcast), so outputs are invariant to batch size and
-    slot position for a fixed per-element key.
+    slot position for a fixed per-element key — WITHIN a path. The fused
+    kernel derives a per-element uint32 seed for its in-kernel hash PRNG
+    from keys[:, 1], so its draws differ from the scan path's
+    jax.random draws (same distribution — chi-squared-tested in
+    tests/test_cp_kernel.py — different stream). Crossing the kernel
+    gate (B > 8, QWEN3_TTS_CP_KERNEL=0, sharded params) therefore
+    changes sampled codes for the same key; greedy (temperature 0) is
+    bit-identical on both paths.
     """
     geo = tfm.geometry_of(cfg)
     B, H = hidden.shape

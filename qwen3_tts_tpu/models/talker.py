@@ -111,8 +111,15 @@ def build_prefix(
     three tail positions (text rows, tts_eos, final) are placed by masking
     so the result is exact for the true length. Returns
     (prefix (P_pad, H), prefix_len scalar = n_text + PREFIX_EXTRA).
+
+    ``n_text`` is clamped to N_pad: an oversized count (a caller
+    bucketing bug) would otherwise push the eos/final rows past the tail
+    region and return a prefix_len pointing at zero rows — corrupt
+    prefill with no error (review finding). n_text is traced, so this is
+    a clamp rather than a host assert.
     """
     n_pad = text_token_ids.shape[0]
+    n_text = jnp.minimum(jnp.asarray(n_text, jnp.int32), jnp.int32(n_pad))
     ce = params["codec_embedding"]
 
     special = embed_text(
@@ -237,6 +244,15 @@ def prefill_chunked(
     geo = tfm.geometry_of(cfg)
     B, P, H = prefix.shape
     n_chunks = -(-P // chunk)
+    S = tfm.kv_capacity(kv_cache)
+    if n_chunks * chunk > S:
+        # forward_window's dynamic_update_slice would CLAMP the final
+        # window's write offset to S - chunk, silently overwriting real
+        # prefix KV with padding rows at wrong RoPE positions (review
+        # finding) — fail loudly instead; both shapes are static
+        raise ValueError(
+            f"chunked prefill needs n_chunks*chunk <= kv capacity: "
+            f"{n_chunks}*{chunk} > {S} (prefix_pad={P})")
     pad = n_chunks * chunk - P
     if pad:
         prefix = jnp.concatenate(

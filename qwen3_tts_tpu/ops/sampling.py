@@ -88,6 +88,12 @@ def batch_keys(key: jax.Array, B: int) -> jax.Array:
             return np.broadcast_to(key[None], (B,) + key.shape)
         assert key.shape[0] == B, (key.shape, B)
         return key
+    if isinstance(key, jax.Array) and jnp.issubdtype(key.dtype,
+                                                     jax.dtypes.prng_key):
+        # new-style typed key (jax.random.key): 0-d — unwrap to the raw
+        # uint32 (2,) layout the loop state carries (review finding: the
+        # bare .shape[0] below raised an obscure IndexError for these)
+        key = jax.random.key_data(key)
     key = jnp.asarray(key)
     if key.ndim == 1:
         return jnp.broadcast_to(key[None], (B,) + key.shape)
@@ -156,7 +162,8 @@ def topk_softmax_topp_sample(
     """
     top_vals, top_idx = jax.lax.top_k(logits, top_k)  # sorted descending
     scaled = top_vals / jnp.maximum(temperature, 1e-6)
-    scaled = scaled - jnp.max(scaled)
+    # (the reference's exp(scaled - max)/sum IS softmax; jax.nn.softmax
+    # does the max-subtraction internally)
     probs = jax.nn.softmax(scaled)
     csum = jnp.cumsum(probs)
     shifted = jnp.concatenate([jnp.zeros((1,), probs.dtype), csum[:-1]])
@@ -176,7 +183,7 @@ def topk_temperature_sample(logits: jax.Array, key: jax.Array, top_k: int,
 
 
 def sample_code0(
-    logits: jax.Array,        # (codec_vocab,) = hidden @ codec_head.T
+    logits: jax.Array,        # (codec_vocab,) = tk.codec_logits(hidden)
     ring: jax.Array,          # (W,) last code_0s, -1 sentinel
     step: jax.Array,          # scalar int: codes generated so far
     n_text_tokens: jax.Array, # scalar int

@@ -63,3 +63,21 @@ def test_chunk_not_dividing_length():
     h2, _ = tk.prefill_chunked(tp, prefix, plen, kv2, CFG, chunk=7)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_rejects_overflowing_window():
+    """A chunk grid that would write past the KV capacity must fail
+    loudly (the dynamic_update_slice clamp would otherwise silently
+    overwrite real prefix KV at wrong RoPE positions)."""
+    import pytest
+
+    cfg = CFG
+    tp = tk.init_talker_params(jax.random.PRNGKey(0), cfg)
+    geo = tfm.geometry_of(cfg)
+    S = cfg.max_seq_len
+    kv = tfm.init_kv_cache(geo, 1, S, dtype=jnp.float32)
+    P = S - 2  # pads to ceil(P/chunk)*chunk > S for chunk=100
+    prefix = jnp.zeros((1, P, cfg.hidden_size), jnp.float32)
+    with pytest.raises(ValueError, match="chunked prefill"):
+        tk.prefill_chunked(tp, prefix, jnp.asarray([P - 1]), kv, cfg,
+                           chunk=100)

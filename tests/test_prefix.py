@@ -63,3 +63,15 @@ def test_prefix_pad_region_is_zero_irrelevant():
     b, _ = tk.build_prefix(params, jnp.asarray(ids2), jnp.int32(3))
     np.testing.assert_allclose(np.asarray(a)[:12], np.asarray(b)[:12],
                                rtol=1e-6, atol=0)
+
+
+def test_build_prefix_clamps_oversized_n_text():
+    """n_text > N_pad (a caller bucketing bug) must not push the
+    eos/final rows out of the tail region: it clamps to N_pad, keeping
+    prefix_len consistent with the built rows."""
+    tp = tk.init_talker_params(jax.random.PRNGKey(1), CFG)
+    ids = jnp.arange(8, dtype=jnp.int32)
+    good, good_len = tk.build_prefix(tp, ids, jnp.int32(8))
+    bad, bad_len = tk.build_prefix(tp, ids, jnp.int32(11))
+    assert int(bad_len) == int(good_len) == 8 + tk.PREFIX_EXTRA
+    np.testing.assert_array_equal(np.asarray(bad), np.asarray(good))

@@ -219,3 +219,13 @@ def test_cp_topk_temperature_distribution_chi2():
             jnp.asarray(logits), k, 50, 0.1)))(keys))
     stat, crit = _chi2_gof(draws, probs)
     assert stat < crit, f"chi2 {stat:.1f} >= {crit:.1f}: biased sampler"
+
+
+def test_batch_keys_accepts_typed_prng_keys():
+    """jax.random.key (new-style 0-d typed keys) must unwrap to the raw
+    (B, 2) uint32 layout, identical to the legacy PRNGKey path."""
+    from qwen3_tts_tpu.ops import sampling as smp
+
+    legacy = smp.batch_keys(jax.random.PRNGKey(7), 3)
+    typed = smp.batch_keys(jax.random.key(7), 3)
+    np.testing.assert_array_equal(np.asarray(typed), np.asarray(legacy))

@@ -85,6 +85,8 @@ struct StTensor {
   uint64_t begin, end;  // offsets into data section
 };
 
+void ttsrt_st_close(void* h);  // defined below; used by ttsrt_st_open
+
 struct StFile {
   int fd = -1;
   uint8_t* base = nullptr;
@@ -144,9 +146,11 @@ static bool parse_st_header(const char* js, size_t len, StFile* f) {
         std::vector<int64_t> vals;
         while (true) {
           skip_ws();
+          if (i >= len) return false;
           if (js[i] == ']') { ++i; break; }
           char* endp = nullptr;
           vals.push_back(strtoll(js + i, &endp, 10));
+          if (endp == js + i) return false;  // no digits: corrupt header
           i = endp - js;
         }
         if (key == "shape") t.shape = vals;
@@ -187,14 +191,26 @@ void* ttsrt_st_open(const char* path) {
       mmap(nullptr, f->size, PROT_READ, MAP_PRIVATE, fd, 0));
   if (f->base == MAP_FAILED) { close(fd); delete f; return nullptr; }
   uint64_t hlen;
+  if (f->size < 8) { ttsrt_st_close(f); return nullptr; }
   memcpy(&hlen, f->base, 8);
-  f->data_off = 8 + hlen;
-  if (f->data_off > f->size ||
+  // hlen near UINT64_MAX would wrap 8 + hlen to a small data_off and pass
+  // the old check — compare against the remaining bytes instead
+  if (hlen > f->size - 8 ||
       !parse_st_header(reinterpret_cast<const char*>(f->base + 8), hlen, f)) {
-    munmap(f->base, f->size);
-    close(fd);
-    delete f;
+    ttsrt_st_close(f);
     return nullptr;
+  }
+  f->data_off = 8 + hlen;
+  // validate every tensor's data_offsets against the mapped data region:
+  // a truncated checkpoint with an intact header would otherwise SIGBUS
+  // on the first read past the file end (the Python fallback raises)
+  const uint64_t data_len = f->size - f->data_off;
+  for (const auto& kv : f->tensors) {
+    const StTensor& t = kv.second;  // begin/end are uint64 (negatives wrap
+    if (t.end < t.begin || t.end > data_len) {  // huge and fail > data_len)
+      ttsrt_st_close(f);
+      return nullptr;
+    }
   }
   return f;
 }
@@ -248,22 +264,25 @@ int ttsrt_wav_write(const char* path, const int16_t* data, int64_t n,
   uint16_t fmt = 1, ch = 1, bits = 16;
   uint32_t byte_rate = sample_rate * 2;
   uint16_t block_align = 2;
-  fwrite("RIFF", 1, 4, f);
-  fwrite(&chunk, 4, 1, f);
-  fwrite("WAVEfmt ", 1, 8, f);
+  // every write checked: a full disk (ENOSPC) must surface as rc != 0,
+  // not a silently truncated WAV (review finding)
+  bool ok = true;
+  ok &= fwrite("RIFF", 1, 4, f) == 4;
+  ok &= fwrite(&chunk, 4, 1, f) == 1;
+  ok &= fwrite("WAVEfmt ", 1, 8, f) == 8;
   uint32_t fmt_size = 16;
-  fwrite(&fmt_size, 4, 1, f);
-  fwrite(&fmt, 2, 1, f);
-  fwrite(&ch, 2, 1, f);
-  fwrite(&sample_rate, 4, 1, f);
-  fwrite(&byte_rate, 4, 1, f);
-  fwrite(&block_align, 2, 1, f);
-  fwrite(&bits, 2, 1, f);
-  fwrite("data", 1, 4, f);
-  fwrite(&data_bytes, 4, 1, f);
-  fwrite(data, 2, n, f);
-  fclose(f);
-  return 0;
+  ok &= fwrite(&fmt_size, 4, 1, f) == 1;
+  ok &= fwrite(&fmt, 2, 1, f) == 1;
+  ok &= fwrite(&ch, 2, 1, f) == 1;
+  ok &= fwrite(&sample_rate, 4, 1, f) == 1;
+  ok &= fwrite(&byte_rate, 4, 1, f) == 1;
+  ok &= fwrite(&block_align, 2, 1, f) == 1;
+  ok &= fwrite(&bits, 2, 1, f) == 1;
+  ok &= fwrite("data", 1, 4, f) == 4;
+  ok &= fwrite(&data_bytes, 4, 1, f) == 1;
+  ok &= fwrite(data, 2, n, f) == static_cast<size_t>(n);
+  ok &= fclose(f) == 0;
+  return ok ? 0 : -1;
 }
 
 // float [-1,1] -> int16 with the reference's clip semantics
@@ -273,14 +292,6 @@ void ttsrt_f32_to_i16(const float* in, int16_t* out, int64_t n) {
     if (v > 32767.0f) v = 32767.0f;
     if (v < -32768.0f) v = -32768.0f;
     out[i] = static_cast<int16_t>(v);
-  }
-}
-
-// linear overlap crossfade: blend = a*fade_out + b*fade_in (in-place into a)
-void ttsrt_crossfade(float* a_tail, const float* b_head, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) {
-    float fade_out = 1.0f - static_cast<float>(i) / (n - 1);
-    a_tail[i] = a_tail[i] * fade_out + b_head[i] * (1.0f - fade_out);
   }
 }
 

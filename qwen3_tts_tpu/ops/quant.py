@@ -81,6 +81,7 @@ MaybeQuant = Union[jax.Array, QTensor]
 import os as _os
 
 QMATMUL_BACKEND = _os.environ.get("QWEN3_TTS_QMATMUL", "pallas")
+_PALLAS_WARNED = False
 
 
 def matmul(x: jax.Array, w: MaybeQuant, *,
@@ -97,8 +98,18 @@ def matmul(x: jax.Array, w: MaybeQuant, *,
         from qwen3_tts_tpu.ops.pallas.qmatmul import qmatmul_pallas
         try:
             return qmatmul_pallas(x, w.q, w.scale)
-        except Exception:
-            pass
+        except Exception as e:
+            # the XLA int8 fallback is SLOWER than plain bf16 (module
+            # comment above) — a silent downgrade here would mask a
+            # kernel regression with a 2x perf loss and zero signal
+            # (review finding). Warn once per process, keep serving.
+            global _PALLAS_WARNED
+            if not _PALLAS_WARNED:
+                _PALLAS_WARNED = True
+                import sys
+                print(f"warning: qmatmul_pallas failed ({e!r}); falling "
+                      "back to the SLOW XLA int8 path for this process",
+                      file=sys.stderr)
     # XLA fallback: int8 operand feeds the dot directly; XLA converts lazily.
     out = jnp.dot(x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
@@ -115,8 +126,13 @@ def quantize_layer_stack(layers: dict, fuse: bool = False) -> dict:
     launches — same bytes, fewer fixed costs per decode step. Per-channel
     scales concatenate losslessly along the output axis."""
     out = dict(layers)
-    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
-                 "gate_proj", "up_proj", "down_proj"):
+    # with fuse=True the five input-sharing projections are only ever read
+    # through their fused concats — quantizing them individually would be
+    # five abs-max/round passes over never-read results (review finding)
+    solo = (("o_proj", "down_proj") if fuse else
+            ("q_proj", "k_proj", "v_proj", "o_proj",
+             "gate_proj", "up_proj", "down_proj"))
+    for name in solo:
         out[name] = quantize_int8(layers[name])
     if fuse:
         qkv = jnp.concatenate(
@@ -126,8 +142,7 @@ def quantize_layer_stack(layers: dict, fuse: bool = False) -> dict:
         out["qkv_proj"] = quantize_int8(qkv)
         out["gateup_proj"] = quantize_int8(gu)
         # the separate projections are dead once fused variants exist
-        # (_qkv / swiglu_mlp prefer the fused weights) — drop them rather
-        # than hold ~0.5 GB of never-read int8 in HBM
+        # (_qkv / swiglu_mlp prefer the fused weights)
         for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
             del out[name]
     return out

@@ -4,7 +4,7 @@ Same layering as the reference's llama_cpp_bindings.py (typed ctypes over a
 C-ABI shim), covering:
 - zero-copy safetensors access (mmap) for fast weight loading
 - npy read/write
-- WAV write + f32->i16 conversion + crossfade
+- WAV write + f32->i16 conversion
 - a Unix-socket daemon loop with exact framing, dispatching to a Python
   handler (used by serve/daemon.py)
 
@@ -83,6 +83,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64]
 
     lib.ttsrt_serve_unix.restype = ctypes.c_int
+    # int64_t caps: without argtypes ctypes would pass Python ints as
+    # 32-bit c_int — a >=2 GiB resp_cap then raises ArgumentError
+    lib.ttsrt_serve_unix.argtypes = [ctypes.c_char_p, _HANDLER_T,
+                                     ctypes.c_int64, ctypes.c_int64]
     lib.ttsrt_serve_stop.restype = None
     if hasattr(lib, "ttsrt_serve_reset"):  # absent in pre-r3 builds
         lib.ttsrt_serve_reset.restype = None

@@ -59,7 +59,16 @@ from qwen3_tts_tpu.serve.daemon import _recv_exact  # noqa: E402
 
 
 class _SocketServer:
-    """Common accept loop with 1 s timeout polling a stop flag."""
+    """Common accept loop with 1 s timeout polling a stop flag.
+
+    Connections are handled inline on the accept thread (the reference
+    servers are single-request too), so every accepted socket gets a
+    recv/send timeout: a client that connects and then stalls would
+    otherwise block the thread forever, wedging the server and making
+    stop() unreachable (review finding; the native loop's SO_RCVTIMEO
+    guards the same thing in ttsrt.cc)."""
+
+    conn_timeout = 300.0  # generous: covers a full 200-token generation
 
     def __init__(self, socket_path: str):
         self.socket_path = socket_path
@@ -83,6 +92,9 @@ class _SocketServer:
                 except socket.timeout:
                     continue
                 try:
+                    # accept() from a listener with a timeout returns a
+                    # BLOCKING socket (bpo-7995) — bound it explicitly
+                    conn.settimeout(self.conn_timeout)
                     self.handle(conn)
                 except Exception:
                     pass
@@ -126,7 +138,11 @@ class TalkerCompatServer(_SocketServer):
                                     cfg.sampling)
 
         self._prefill = jax.jit(prefill_fn)
-        self._step = jax.jit(step_fn)
+        # donate the KV cache: without it XLA preserves the input buffer,
+        # copying the whole per-request cache every decode step (review
+        # finding); gated to TPU — CPU ignores donation with a warning
+        donate = (3,) if jax.default_backend() == "tpu" else ()
+        self._step = jax.jit(step_fn, donate_argnums=donate)
         self._sample = jax.jit(sample_fn)
 
     def handle(self, conn):
@@ -137,7 +153,28 @@ class TalkerCompatServer(_SocketServer):
         if msg_len > 65536:  # reference bound (llamacpp_talker_server.py:338)
             conn.sendall(struct.pack("<i", SENTINEL_ERROR))
             return
-        msg = json.loads(_recv_exact(conn, msg_len).decode())
+        body = _recv_exact(conn, msg_len)
+        if body is None:  # client closed mid-request
+            return
+        try:
+            msg = json.loads(body.decode())
+        except Exception:
+            # the documented protocol promises [-2] on error
+            # (module docstring / llamacpp_talker_server.py:358-366),
+            # not an unexplained EOF (review finding)
+            conn.sendall(struct.pack("<i", SENTINEL_ERROR))
+            return
+        try:
+            self._generate(conn, msg)
+        except (BrokenPipeError, ConnectionResetError, socket.timeout):
+            pass
+        except Exception:
+            try:
+                conn.sendall(struct.pack("<i", SENTINEL_ERROR))
+            except OSError:
+                pass
+
+    def _generate(self, conn, msg):
         text = msg.get("text", "")
 
         ids = self.tokenizer.encode(text, add_special_tokens=False)

@@ -130,3 +130,44 @@ def test_serve_unix_roundtrip(tmp_path):
     finally:
         native.serve_stop()
         t.join(timeout=3)
+
+
+def test_truncated_safetensors_rejected_not_sigbus(tmp_path):
+    """A checkpoint with an intact header but truncated data must fail
+    the native open (falling back to the Python reader's catchable
+    error), never read past the mmap (SIGBUS; review finding)."""
+    import json as _json
+
+    names = {f"t{i}": None for i in range(2)}
+    hdr = {}
+    off = 0
+    for name in names:
+        hdr[name] = {"dtype": "F32", "shape": [4, 4],
+                     "data_offsets": [off, off + 64]}
+        off += 64
+    hjs = _json.dumps(hdr).encode()
+    blob = struct.pack("<Q", len(hjs)) + hjs + b"\x00" * off
+    good = tmp_path / "good.safetensors"
+    good.write_bytes(blob)
+    trunc = tmp_path / "trunc.safetensors"
+    trunc.write_bytes(blob[:-40])  # header intact, data cut short
+
+    if native.available():
+        lib = native._load()
+        h = lib.ttsrt_st_open(str(good).encode())
+        assert h, "valid file must open"
+        lib.ttsrt_st_close(h)
+        assert not lib.ttsrt_st_open(str(trunc).encode())
+
+        # corrupt header numbers must error, not hang/accept
+        bad_hdr = _json.dumps(
+            {"t": {"dtype": "F32", "shape": [1, None],
+                   "data_offsets": [0, 4]}}).replace("None", "null").encode()
+        bad = tmp_path / "bad.safetensors"
+        bad.write_bytes(struct.pack("<Q", len(bad_hdr)) + bad_hdr + b"\x00" * 4)
+        assert not lib.ttsrt_st_open(str(bad).encode())
+
+        # absurd header length (wraps 8+hlen) must be rejected
+        huge = tmp_path / "huge.safetensors"
+        huge.write_bytes(struct.pack("<Q", 2**64 - 4) + b"{}" + b"\x00" * 16)
+        assert not lib.ttsrt_st_open(str(huge).encode())

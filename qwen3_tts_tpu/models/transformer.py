@@ -119,6 +119,19 @@ class TransformerGeometry:
     def q_groups(self) -> int:
         return self.num_heads // self.num_kv_heads
 
+    @classmethod
+    def attention_only(cls, num_heads: int, num_kv_heads: int,
+                       head_dim: int) -> "TransformerGeometry":
+        """Geometry for callers that only run gqa_attention (e.g. the
+        paged-attention XLA fallback): the attention fields are real, the
+        stack fields are deliberately impossible sentinels so any future
+        gqa_attention dependence on them fails loudly instead of reading
+        a plausible dummy (review finding)."""
+        return cls(num_layers=0, hidden_size=num_heads * head_dim,
+                   intermediate_size=0, num_heads=num_heads,
+                   num_kv_heads=num_kv_heads, head_dim=head_dim,
+                   rms_norm_eps=float("nan"), rope_theta=float("nan"))
+
 
 def geometry_of(cfg) -> TransformerGeometry:
     """Extract the shared geometry from TalkerConfig / CodePredictorConfig."""

@@ -8,6 +8,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# shared masking constant for attention/sampling (one definition so a
+# future change — e.g. a bf16-safe value — cannot diverge per kernel)
+NEG = -1e30
+
 
 def rms(x, w, eps):
     """RMSNorm rows of x (.., D) in f32; returns f32."""

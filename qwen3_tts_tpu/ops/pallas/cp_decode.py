@@ -56,8 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from qwen3_tts_tpu.ops.pallas.common import qmm as _qmm
 from qwen3_tts_tpu.ops.pallas.common import rms as _rms
 from qwen3_tts_tpu.ops.pallas.common import rot_mat as _rot_mat
-
-NEG = -1e30
+from qwen3_tts_tpu.ops.pallas.common import NEG
 BP = 8  # padded batch rows (one sublane tile)
 
 

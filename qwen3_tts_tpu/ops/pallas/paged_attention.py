@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e30
+from qwen3_tts_tpu.ops.pallas.common import NEG
 
 
 def paged_gather_kv(pool: jax.Array, table: jax.Array) -> jax.Array:
@@ -175,8 +175,12 @@ def paged_decode_attention(
     S = kv.shape[2]
     mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, :]  # (B,1,S)
     from qwen3_tts_tpu.models import transformer as tfm
-    geo = tfm.TransformerGeometry(
-        num_layers=1, hidden_size=Hq * Dh, intermediate_size=1,
-        num_heads=Hq, num_kv_heads=pool.shape[3], head_dim=Dh,
-        rms_norm_eps=1e-6, rope_theta=1e6)
-    return tfm.gqa_attention(q[:, None], kv[0], kv[1], mask, geo)[:, 0]
+    geo = tfm.TransformerGeometry.attention_only(
+        num_heads=Hq, num_kv_heads=pool.shape[3], head_dim=Dh)
+    out = tfm.gqa_attention(q[:, None], kv[0], kv[1], mask, geo)[:, 0]
+    # honor the 'returns in q.dtype' contract on the fallback path too:
+    # gqa_attention yields v.dtype (the pool's), and this branch is the
+    # kernel's interpret-mode numerical oracle — a bf16 pool would
+    # otherwise make the oracle LOWER precision than the kernel it
+    # validates (review finding)
+    return out.astype(q.dtype)

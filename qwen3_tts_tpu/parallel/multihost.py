@@ -51,8 +51,17 @@ def init_distributed(coordinator: Optional[str] = None,
         num_processes = int(os.environ.get("QWEN3_TTS_NUM_PROCESSES", "1"))
     if process_id is None:
         process_id = int(os.environ.get("QWEN3_TTS_PROCESS_ID", "0"))
-    if num_processes <= 1 or not coordinator:
+    if num_processes <= 1:
         return False
+    if not coordinator:
+        # an unambiguous misconfiguration: silently returning False here
+        # would start this host as an independent single-process daemon
+        # while the other processes block in initialize() waiting for it
+        # (review finding) — fail loudly instead
+        raise ValueError(
+            f"QWEN3_TTS_NUM_PROCESSES={num_processes} but no coordinator "
+            "address: set QWEN3_TTS_COORDINATOR=host:port (or pass "
+            "coordinator=)")
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -91,7 +100,19 @@ def make_serving_mesh(tp: int,
             raise ValueError(f"dp={dp} needs {dp * tp} devices, "
                              f"have {len(ordered)}")
         total_dp = dp
-    grid = np.asarray(ordered[: total_dp * tp], dtype=object)
+    chosen = ordered[: total_dp * tp]
+    # every participating process must keep at least one device in the
+    # mesh: in multi-controller JAX a process with zero addressable
+    # devices errors (or hangs the others' collectives) the first time it
+    # runs a computation over this mesh (review finding)
+    stranded = sorted(set(by_proc) - {d.process_index for d in chosen})
+    if stranded:
+        raise ValueError(
+            f"dp={total_dp} x tp={tp} uses only the first "
+            f"{total_dp * tp} devices and leaves process(es) {stranded} "
+            "with no mesh devices — lower tp/dp or pass an explicit "
+            "device subset that keeps every process represented")
+    grid = np.asarray(chosen, dtype=object)
     grid = grid.reshape(total_dp, tp)
     return Mesh(grid, (DP, TP))
 

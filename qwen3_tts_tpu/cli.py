@@ -74,15 +74,27 @@ def main(argv=None) -> int:
     from qwen3_tts_tpu.config import TTSConfig, tiny_tts_config
     from qwen3_tts_tpu.engine.engine import TTSEngine
 
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    preloaded = None
     if args.tiny:
         cfg = tiny_tts_config(max_tokens=32)
     elif args.model_dir:
-        # geometry from the checkpoint itself (header-only probe) so any
-        # Qwen3-TTS-family size loads without a hand-written config
+        # geometry from the checkpoint itself so any Qwen3-TTS-family
+        # size loads without a hand-written config; params.npz first
+        # (load_params' precedence), then the header-only probe
         import os
-        from qwen3_tts_tpu.io.weights import detect_tts_config
-        if os.path.exists(os.path.join(args.model_dir, "model.safetensors")):
-            cfg = detect_tts_config(args.model_dir)
+        from qwen3_tts_tpu.io import weights as weights_io
+        npz = os.path.join(args.model_dir, "params.npz")
+        if os.path.exists(npz):
+            cfg = weights_io.read_npz_config(npz)
+            preloaded = weights_io.load_params(args.model_dir, TTSConfig(),
+                                               dtype, args.seed)
+            if cfg is None:
+                cfg = weights_io.config_from_params(preloaded)
+        elif os.path.exists(os.path.join(args.model_dir,
+                                         "model.safetensors")):
+            cfg = weights_io.detect_tts_config(args.model_dir)
         else:
             cfg = TTSConfig()
     else:
@@ -96,14 +108,13 @@ def main(argv=None) -> int:
         sampling = dataclasses.replace(sampling, top_k=args.top_k)
     cfg = dataclasses.replace(cfg, sampling=sampling)
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-
     print(f"Text: '{text}'")
     print(f"Language: {args.language}")
     from qwen3_tts_tpu.utils.profiling import device_trace
 
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
-                       seed=args.seed, quantize=args.quantize)
+                       seed=args.seed, quantize=args.quantize,
+                       params=preloaded)
     with device_trace(args.profile):
         if args.long:
             if args.streaming:

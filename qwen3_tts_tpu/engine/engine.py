@@ -112,12 +112,25 @@ class TTSEngine:
                  params: Optional[Dict] = None,
                  quantize: Optional[str] = None):
         _enable_compile_cache()
-        if cfg is None and model_dir is not None and os.path.exists(
-                os.path.join(model_dir, "model.safetensors")):
-            # geometry from the checkpoint header (weights_io.
-            # detect_tts_config) — any Qwen3-TTS-family size loads
-            # without a hand-written config
-            cfg = weights_io.detect_tts_config(model_dir)
+        if cfg is None and model_dir is not None:
+            # geometry from the checkpoint itself — any Qwen3-TTS-family
+            # size loads without a hand-written config. Precedence
+            # mirrors load_params: params.npz first (shapes from the
+            # loaded bundle), then the safetensors header probe.
+            npz = os.path.join(model_dir, "params.npz")
+            if os.path.exists(npz):
+                # the embedded __config__ is authoritative; older npz
+                # files fall back to shape derivation (vocoder geometry
+                # then assumed default)
+                cfg = weights_io.read_npz_config(npz)
+                if params is None:
+                    params = weights_io.load_params(model_dir, TTSConfig(),
+                                                    dtype, seed)
+                if cfg is None:
+                    cfg = weights_io.config_from_params(params)
+            elif os.path.exists(os.path.join(model_dir,
+                                             "model.safetensors")):
+                cfg = weights_io.detect_tts_config(model_dir)
         self.cfg = cfg or TTSConfig()
         # shallow-copy caller-supplied params: quantize below REPLACES
         # component entries, and mutating the caller's dict in place would

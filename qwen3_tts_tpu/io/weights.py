@@ -39,7 +39,15 @@ Params = Dict[str, Any]
 # Generic pytree <-> npz (native checkpoint format)
 # ---------------------------------------------------------------------------
 
-def save_pytree_npz(path: str, tree: Params) -> None:
+_CONFIG_KEY = "__config__"  # JSON TTSConfig embedded in params.npz
+
+
+def save_pytree_npz(path: str, tree: Params,
+                    config: Optional[TTSConfig] = None) -> None:
+    """Flatten a param pytree into npz. ``config`` (recommended for full
+    checkpoints) embeds the exact TTSConfig as JSON under __config__, so
+    loading never has to guess shape-underivable geometry (vocoder head
+    count, sliding window, eps/theta)."""
     flat = {}
 
     def rec(prefix, node):
@@ -47,25 +55,72 @@ def save_pytree_npz(path: str, tree: Params) -> None:
             for k, v in node.items():
                 rec(f"{prefix}/{k}" if prefix else k, v)
         else:
-            flat[prefix] = np.asarray(node)
+            arr = np.asarray(node)
+            if arr.dtype == jnp.bfloat16:
+                # np.savez stores ml_dtypes bf16 as raw void ('|V2'),
+                # which nothing can load back (review finding) — store
+                # the bit pattern as uint16 with a dtype tag in the key
+                flat[prefix + "::bf16"] = arr.view(np.uint16)
+            else:
+                flat[prefix] = arr
 
     rec("", tree)
+    if config is not None:
+        import dataclasses as _dc
+        import json as _json
+        js = _json.dumps(_dc.asdict(config)).encode()
+        flat[_CONFIG_KEY] = np.frombuffer(js, np.uint8)
     np.savez(path, **flat)
 
 
+def read_npz_config(path: str) -> Optional[TTSConfig]:
+    """The TTSConfig embedded by save_pytree_npz(config=...), or None for
+    older checkpoints (callers fall back to config_from_params)."""
+    import json as _json
+
+    from qwen3_tts_tpu.config import (EncoderConfig, SamplingConfig,
+                                      VocoderConfig)
+
+    with np.load(path) as data:
+        if _CONFIG_KEY not in data.files:
+            return None
+        js = data[_CONFIG_KEY].tobytes().decode()
+    d = _json.loads(js)
+
+    def mk(cls, dd):
+        # JSON turns tuples into lists; frozen configs need tuples back
+        return cls(**{k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in dd.items()})
+
+    return TTSConfig(
+        talker=mk(TalkerConfig, d["talker"]),
+        code_predictor=mk(CodePredictorConfig, d["code_predictor"]),
+        vocoder=mk(VocoderConfig, d["vocoder"]),
+        encoder=mk(EncoderConfig, d["encoder"]),
+        sampling=mk(SamplingConfig, d["sampling"]),
+        max_tokens=d["max_tokens"],
+    )
+
+
 def load_pytree_npz(path: str, dtype=None) -> Params:
-    data = np.load(path)
     tree: Params = {}
-    for key in data.files:
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        arr = data[key]
-        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
-            node[parts[-1]] = jnp.asarray(arr, dtype)
-        else:
-            node[parts[-1]] = jnp.asarray(arr)
+    with np.load(path) as data:  # close the handle (multi-GB file)
+        for key in data.files:
+            if key == _CONFIG_KEY:
+                continue  # read via read_npz_config
+            arr = data[key]
+            name = key
+            if key.endswith("::bf16"):
+                name = key[: -len("::bf16")]
+                arr = arr.view(jnp.bfloat16)
+            parts = name.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+                node[parts[-1]] = jnp.asarray(arr, dtype)
+            else:
+                node[parts[-1]] = jnp.asarray(arr)
     return tree
 
 
@@ -324,6 +379,18 @@ def load_speech_tokenizer(st_dir: str, cfg: TTSConfig) -> Dict[str, Params]:
     dec_sd = groups.get("decoder") or groups.get("")
     if not dec_sd:
         raise KeyError(f"no decoder tensors found in {st_path}")
+    ignored = sorted(g for g in groups
+                     if g not in ("decoder", "encoder", ""))
+    if ignored or ("decoder" in groups and groups.get("")):
+        # the per-group loaders are strict, but tensors OUTSIDE the
+        # decoder./encoder. prefixes would vanish silently — say so
+        # (review finding; first contact with a real checkpoint should
+        # be a key diff, not a mystery)
+        import sys
+        extra = ignored + (["<unprefixed>"]
+                           if "decoder" in groups and groups.get("") else [])
+        print(f"warning: speech_tokenizer checkpoint has tensor groups "
+              f"the loaders do not consume: {extra}", file=sys.stderr)
     out = {"vocoder": load_vocoder_from_state_dict(dec_sd, cfg.vocoder)}
     if "encoder" in groups:
         from qwen3_tts_tpu.models import encoder as enc
@@ -448,6 +515,45 @@ def detect_tts_config(model_dir: str, base: Optional[TTSConfig] = None,
     return dataclasses.replace(base, talker=talker, code_predictor=cp)
 
 
+def config_from_params(params: Dict[str, Params],
+                       base: Optional[TTSConfig] = None) -> TTSConfig:
+    """Derive talker + code-predictor geometry from an already-loaded
+    parameter bundle (the native ``params.npz`` analog of
+    detect_tts_config: a converted non-default-geometry checkpoint must
+    not silently run against the default config's shapes — review
+    finding). FALLBACK path for npz files without an embedded
+    __config__ (read_npz_config is authoritative): scalars (eps/theta)
+    and the vocoder/encoder configs stay ``base``'s — they are not
+    derivable from array shapes (vocoder head count / sliding window in
+    particular), so a non-default vocoder geometry needs the embedded
+    config."""
+    import dataclasses
+
+    base = base or TTSConfig()
+
+    def stack_geo(comp):
+        L, H, q_dim = comp["layers"]["q_proj"].shape
+        head_dim = comp["layers"]["q_norm"].shape[-1]
+        kv_dim = comp["layers"]["k_proj"].shape[-1]
+        inter = comp["layers"]["gate_proj"].shape[-1]
+        return dict(num_layers=int(L), hidden_size=int(H),
+                    intermediate_size=int(inter), head_dim=int(head_dim),
+                    num_heads=int(q_dim // head_dim),
+                    num_kv_heads=int(kv_dim // head_dim))
+
+    t, c = params["talker"], params["code_predictor"]
+    talker = dataclasses.replace(
+        base.talker, **stack_geo(t),
+        codec_vocab_size=int(t["codec_embedding"].shape[0]),
+        text_vocab_size=int(t["text_embedding"].shape[0]),
+        text_embed_dim=int(t["text_embedding"].shape[1]))
+    G = int(c["lm_heads"].shape[0])
+    cp = dataclasses.replace(
+        base.code_predictor, **stack_geo(c), num_groups=G,
+        group_vocab_size=int(c["lm_heads"].shape[2]), max_seq_len=G + 1)
+    return dataclasses.replace(base, talker=talker, code_predictor=cp)
+
+
 def load_from_hf_checkpoint(model_dir: str, cfg: TTSConfig,
                             dtype=jnp.bfloat16) -> Dict[str, Params]:
     """Load talker + code predictor from an HF Qwen3-TTS checkpoint dir
@@ -496,21 +602,38 @@ def load_params(
 
     - ``model_dir`` containing ``model.safetensors``: HF path (vocoder from
       ``vocoder.npz`` native file in the same dir if present, else random).
-    - ``model_dir`` containing ``params.npz``: native checkpoint.
+    - ``model_dir`` containing ``params.npz``: native checkpoint. ``dtype``
+      applies to the talker/code-predictor floats (vocoder/encoder stay
+      FP32 by contract), same as the HF path.
     - ``model_dir is None``: random init.
     """
     if model_dir is None:
         return init_random_params(cfg, seed, dtype)
     native = os.path.join(model_dir, "params.npz")
     if os.path.exists(native):
-        return load_pytree_npz(native)
+        params = load_pytree_npz(native)
+        if dtype is not None:
+            def cast(a):
+                return (a.astype(dtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            for comp in ("talker", "code_predictor"):
+                if comp in params:
+                    params[comp] = jax.tree.map(cast, params[comp])
+        return params
     params = load_from_hf_checkpoint(model_dir, cfg, dtype)
     st_dir = os.path.join(model_dir, "speech_tokenizer")
     voc_native = os.path.join(model_dir, "vocoder.npz")
+    enc_native = os.path.join(model_dir, "encoder.npz")
     if os.path.exists(os.path.join(st_dir, "model.safetensors")):
         params.update(load_speech_tokenizer(st_dir, cfg))
     elif os.path.exists(voc_native):
         params["vocoder"] = load_pytree_npz(voc_native, jnp.float32)
+        if os.path.exists(enc_native):
+            # convert_weights.py --speech_tokenizer writes this next to
+            # vocoder.npz; without loading it the voice-clone encoder
+            # silently random-inits despite trained weights sitting in
+            # the directory (review finding)
+            params["encoder"] = load_pytree_npz(enc_native, jnp.float32)
     else:
         import warnings
         warnings.warn(

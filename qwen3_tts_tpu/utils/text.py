@@ -15,8 +15,15 @@ import re
 from typing import List
 
 # sentence enders: ASCII + CJK full stops / question / exclamation,
-# ellipsis; keep the delimiter attached to its sentence
-_SENT_RE = re.compile(r"[^.!?。！？…]+[.!?。！？…]+[\"'»”’)]*|[^.!?。！？…]+$")
+# ellipsis; keep the delimiter attached to its sentence. Leading
+# delimiter runs (an ellipsis pause cue) attach to the sentence that
+# follows, and a delimiter-only residue is kept as its own piece —
+# nothing the user wrote is silently dropped (review finding).
+_D = r".!?。！？…"
+_SENT_RE = re.compile(
+    rf"[{_D}\s]*[^{_D}]+[{_D}]+[\"'»”’)]*"   # [...lead]body.delims"
+    rf"|[{_D}\s]*[^{_D}]+$"                  # unterminated tail
+    rf"|[{_D}\s]*[{_D}]+$")                  # delimiter-only residue
 
 
 def split_sentences(text: str, max_chars: int = 0) -> List[str]:
@@ -65,19 +72,30 @@ def split_for_budget(text: str, count_tokens, max_text_tokens: int,
     With ``merge`` (default), adjacent sentences re-pack greedily while
     the merged encoding stays within budget — fewer seams, fewer
     requests."""
-    pieces: List[str] = []
-    for s in split_sentences(text):
-        pieces.extend(_bounded_tokens(s, count_tokens, max_text_tokens))
-    if not merge:
-        return pieces
     out: List[str] = []
-    for p in pieces:
-        if out:
-            cand = out[-1] + " " + p
-            if count_tokens(cand) <= max_text_tokens:
-                out[-1] = cand
-                continue
-        out.append(p)
+    # merge greedily WITHIN a line only: newlines are hard prosodic
+    # boundaries (split_sentences' contract) and must survive the merge
+    # (review finding: list items / paragraph breaks without terminal
+    # punctuation were re-joined into one utterance)
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        pieces: List[str] = []
+        for s in split_sentences(line):
+            pieces.extend(_bounded_tokens(s, count_tokens, max_text_tokens))
+        if not merge:
+            out.extend(pieces)
+            continue
+        merged: List[str] = []
+        for p in pieces:
+            if merged:
+                cand = merged[-1] + " " + p
+                if count_tokens(cand) <= max_text_tokens:
+                    merged[-1] = cand
+                    continue
+            merged.append(p)
+        out.extend(merged)
     return out
 
 

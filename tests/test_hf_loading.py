@@ -426,3 +426,82 @@ def test_engine_synthesizes_at_detected_geometry(tmp_path):
     res = eng.synthesize("geometry probe", language="english", seed=0)
     assert res.n_tokens >= 1
     assert len(res.audio_int16) == res.n_tokens * 1920
+
+
+def test_npz_roundtrip_bf16_and_native_geometry(tmp_path):
+    """save/load_pytree_npz must round-trip bf16 exactly (np.savez stores
+    ml_dtypes bf16 as raw void otherwise — review finding), load_params
+    must honor dtype on the native path, and config_from_params must
+    recover the geometry so a converted non-default checkpoint does not
+    run against the default config's shapes."""
+    import jax
+
+    from qwen3_tts_tpu.models import code_predictor as cp_m
+    from qwen3_tts_tpu.models import talker as tk
+
+    alt = _alt_config()
+    params = {
+        "talker": tk.init_talker_params(jax.random.PRNGKey(0), alt.talker,
+                                        dtype=jnp.bfloat16),
+        "code_predictor": cp_m.init_cp_params(jax.random.PRNGKey(1),
+                                              alt.code_predictor,
+                                              dtype=jnp.bfloat16),
+    }
+    path = str(tmp_path / "params.npz")
+    weights_io.save_pytree_npz(path, params)
+    back = weights_io.load_pytree_npz(path)
+    assert back["talker"]["codec_embedding"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(back["talker"]["codec_embedding"], np.float32),
+        np.asarray(params["talker"]["codec_embedding"], np.float32))
+
+    # load_params honors dtype for the transformers on the native path
+    loaded = weights_io.load_params(str(tmp_path), alt, dtype=jnp.float32)
+    assert loaded["talker"]["layers"]["q_proj"].dtype == jnp.float32
+
+    # geometry recovered from the bundle
+    det = weights_io.config_from_params(loaded, base=tiny_tts_config(
+        max_tokens=4))
+    assert det.talker.num_layers == alt.talker.num_layers
+    assert det.talker.hidden_size == alt.talker.hidden_size
+    assert det.talker.num_kv_heads == alt.talker.num_kv_heads
+    assert det.code_predictor.num_groups == alt.code_predictor.num_groups
+    assert det.code_predictor.group_vocab_size == \
+        alt.code_predictor.group_vocab_size
+
+
+def test_npz_embedded_config_roundtrip(tmp_path):
+    """save_pytree_npz(config=...) embeds the exact TTSConfig (vocoder
+    geometry included — NOT shape-derivable) and read_npz_config returns
+    it equal; the engine then runs a non-default-vocoder npz end to end."""
+    import warnings
+
+    import jax
+
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+    from qwen3_tts_tpu.models import code_predictor as cp_m
+    from qwen3_tts_tpu.models import talker as tk
+    from qwen3_tts_tpu.models import vocoder as voc
+
+    alt = _alt_config()
+    params = {
+        "talker": tk.init_talker_params(jax.random.PRNGKey(0), alt.talker,
+                                        dtype=jnp.float32),
+        "code_predictor": cp_m.init_cp_params(jax.random.PRNGKey(1),
+                                              alt.code_predictor,
+                                              dtype=jnp.float32),
+        "vocoder": voc.init_vocoder_params(jax.random.PRNGKey(2),
+                                           alt.vocoder),
+    }
+    path = str(tmp_path / "params.npz")
+    weights_io.save_pytree_npz(path, params, config=alt)
+    got = weights_io.read_npz_config(path)
+    assert got == alt  # frozen dataclasses: exact equality
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eng = TTSEngine(cfg=None, model_dir=str(tmp_path),
+                        dtype=jnp.float32)
+    assert eng.cfg == alt
+    res = eng.synthesize("npz config probe", language="english", seed=0)
+    assert len(res.audio_int16) == res.n_tokens * 1920 and res.n_tokens > 0

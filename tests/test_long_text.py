@@ -222,3 +222,25 @@ def test_daemon_long_engine_and_batched(engine, tmp_path):
     finally:
         db.stop()
         tb.join(timeout=10)
+
+
+def test_split_preserves_user_punctuation():
+    """Leading ellipses attach to the following sentence and
+    delimiter-only lines survive — nothing the user wrote is silently
+    dropped (review finding)."""
+    from qwen3_tts_tpu.utils.text import split_sentences
+
+    assert split_sentences("...wait what. ok.") == ["...wait what.", "ok."]
+    assert split_sentences("!!!") == ["!!!"]
+
+
+def test_split_for_budget_keeps_newline_boundaries():
+    """The greedy merge must not re-join pieces across newlines (hard
+    prosodic boundaries; review finding)."""
+    from qwen3_tts_tpu.utils.text import split_for_budget
+
+    got = split_for_budget("line one\nline two", lambda s: len(s.split()), 10)
+    assert got == ["line one", "line two"]
+    # merge still packs within a line
+    got = split_for_budget("a b. c d.", lambda s: len(s.split()), 10)
+    assert got == ["a b. c d."]

@@ -124,10 +124,14 @@ def main(argv=None) -> int:
         params = weights_io.init_random_params(cfg, seed=0, dtype=dtype)
     else:
         print(f"Loading HF checkpoint: {args.model_dir}")
+        if os.path.exists(os.path.join(args.model_dir, "model.safetensors")):
+            # geometry from the checkpoint, not the default config
+            cfg = weights_io.detect_tts_config(args.model_dir, base=cfg)
         params = weights_io.load_params(args.model_dir, cfg, dtype)
 
     print(f"Saving native checkpoint: {args.output}")
-    weights_io.save_pytree_npz(args.output, params)
+    # embed the config so loaders never guess shape-underivable geometry
+    weights_io.save_pytree_npz(args.output, params, config=cfg)
     sz = os.path.getsize(args.output) / 1e6
     print(f"  {sz:.1f} MB")
 

@@ -152,6 +152,10 @@ class TTSDaemon:
         self.batcher = batcher
         self.stats = ServingStats()
         self._stop = threading.Event()
+        # engine mode serves ONE request at a time; the lock lives here
+        # (not per transport) so unix-socket and HTTP requests serialize
+        # against each other too (review finding)
+        self.engine_lock = threading.Lock()
 
     # -- request handling ---------------------------------------------------
 
@@ -177,6 +181,21 @@ class TTSDaemon:
                 return self._handle_batched(
                     msg, text, mt,
                     send_frame if msg.get("stream") else None)
+            with self.engine_lock:
+                return self._handle_engine(msg, text, mt, send_frame)
+        except Exception as e:
+            self.stats.record_error()
+            if send_frame is not None:
+                try:
+                    send_frame(encode_response({"done": True,
+                                                "error": str(e)}, None))
+                except OSError:
+                    pass
+                return None
+            return encode_response({"error": str(e)}, None)
+
+    def _handle_engine(self, msg, text, mt, send_frame) -> Optional[bytes]:
+        try:
             if msg.get("stream") and send_frame is not None:
                 return self._handle_stream(msg, text, mt, send_frame)
             if msg.get("long"):
@@ -257,8 +276,12 @@ class TTSDaemon:
                               res.first_audio_seconds)
         except Exception as e:
             self.stats.record_error()
-            send_frame(encode_response({"done": True, "error": str(e)},
-                                       None))
+            try:
+                send_frame(encode_response({"done": True, "error": str(e)},
+                                           None))
+            except OSError:
+                pass  # dead client: already counted — an escaping raise
+                # would double-count in handle()'s catch-all
         return None
 
     def _handle_batched(self, msg, text: str, mt=None,
@@ -273,31 +296,24 @@ class TTSDaemon:
         from qwen3_tts_tpu.models import vocoder as _voc
         lang = msg.get("language", "russian")
         from qwen3_tts_tpu.config import SUPPORTED_LANGUAGES
+
+        def _reject(message: str) -> Optional[bytes]:
+            # one framing helper for validation rejections: streams get a
+            # terminal done-frame, blobs get an error header
+            self.stats.record_error()
+            hdr = {"error": message}
+            if send_frame is not None:
+                send_frame(encode_response({"done": True, **hdr}, None))
+                return None
+            return encode_response(hdr, None)
+
         if lang not in SUPPORTED_LANGUAGES:
-            self.stats.record_error()
-            err = encode_response(
-                {"error": f"unsupported language {lang!r}"}, None)
-            if send_frame is not None:
-                send_frame(encode_response(
-                    {"done": True, "error": f"unsupported language "
-                                            f"{lang!r}"}, None))
-                return None
-            return err
+            return _reject(f"unsupported language {lang!r}")
         if msg.get("prompt_dir"):
-            self.stats.record_error()
-            hdr = {"error": "prompt_dir (voice cloning) is not supported "
-                            "in batched mode; use an engine-mode daemon"}
-            if send_frame is not None:
-                send_frame(encode_response({"done": True, **hdr}, None))
-                return None
-            return encode_response(hdr, None)
+            return _reject("prompt_dir (voice cloning) is not supported "
+                           "in batched mode; use an engine-mode daemon")
         if mt is not None and mt < 1:
-            self.stats.record_error()
-            hdr = {"error": f"max_tokens must be >= 1, got {mt}"}
-            if send_frame is not None:
-                send_frame(encode_response({"done": True, **hdr}, None))
-                return None
-            return encode_response(hdr, None)
+            return _reject(f"max_tokens must be >= 1, got {mt}")
         if msg.get("long"):
             return self._handle_batched_long(msg, text, mt, send_frame)
         t0 = _time.perf_counter()
@@ -339,15 +355,21 @@ class TTSDaemon:
                 block = False
 
         idx = [0]
+        timeout_s = 600.0
         try:
             if seg_q is not None:
-                deadline = _time.monotonic() + 600
+                deadline = _time.monotonic() + timeout_s
                 while not fut.done():
                     _drain(block=True)
                     if _time.monotonic() > deadline:
                         raise TimeoutError("batched synthesis timed out")
                 _drain(block=False)
-            codes, audio = fut.result(timeout=600)
+                # the stream drain already consumed wall clock: give
+                # fut.result only the REMAINING budget, not a fresh 600 s
+                # (a stream request could otherwise hold the connection
+                # ~2x blob mode's bound)
+                timeout_s = max(deadline - _time.monotonic(), 1.0)
+            codes, audio = fut.result(timeout=timeout_s)
         except Exception as e:
             # withdraw the request if it is still waiting for a slot:
             # without this a timed-out (dead-connection) request would
@@ -363,8 +385,12 @@ class TTSDaemon:
             # error — recording here too would double-count it
             if send_frame is not None:
                 self.stats.record_error()
-                send_frame(encode_response({"done": True,
-                                            "error": str(e)}, None))
+                try:
+                    send_frame(encode_response({"done": True,
+                                                "error": str(e)}, None))
+                except OSError:
+                    pass  # dead client: already counted — letting this
+                    # escape would double-count in handle()'s catch-all
                 return None
             raise
         audio_i16 = _voc.to_int16(audio)
@@ -527,6 +553,12 @@ class TTSDaemon:
                     conn, _ = sock.accept()
                 except socket.timeout:
                     continue
+                # accept() from a timed listener returns a BLOCKING
+                # socket (bpo-7995): bound it, or one stalled client
+                # wedges the engine-mode serve thread forever and SIGTERM
+                # can never complete (review finding; the native loop
+                # sets SO_RCVTIMEO, compat.py does the same)
+                conn.settimeout(300.0)
                 if threaded:
                     threading.Thread(target=serve_conn, args=(conn,),
                                      daemon=True).start()
@@ -614,8 +646,13 @@ class DaemonClient:
             c.sendall(struct.pack("<I", len(msg)) + msg)
             if not stream:
                 raw = _recv_exact(c, 4)
+                if raw is None:
+                    raise RuntimeError(
+                        "daemon closed connection before reply")
                 n = struct.unpack("<I", raw)[0]
                 payload = _recv_exact(c, n)
+                if payload is None:
+                    raise RuntimeError("daemon closed connection mid-reply")
                 header, audio = decode_response(payload)
                 if "error" in header:
                     raise RuntimeError(header["error"])
@@ -628,6 +665,8 @@ class DaemonClient:
                     raise RuntimeError("daemon closed mid-stream")
                 n = struct.unpack("<I", raw)[0]
                 payload = _recv_exact(c, n)
+                if payload is None:
+                    raise RuntimeError("daemon closed mid-stream")
                 header, audio = decode_response(payload)
                 if on_chunk is not None:
                     on_chunk(header, audio)
@@ -704,8 +743,6 @@ def main(argv=None) -> int:
         quantize = None
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        quantize=quantize)
-    # warm the compile caches before accepting requests
-    engine.synthesize("warmup", language="english", seed=0)
     batcher = None
     if args.batch > 0:
         from qwen3_tts_tpu.serve.batching import ContinuousBatcher
@@ -714,6 +751,17 @@ def main(argv=None) -> int:
                                     decode_chunk=args.decode_chunk,
                                     paged=args.paged,
                                     page_size=args.page_size)
+    # warm the compile caches before accepting requests — through the
+    # tier that will actually serve: a batched daemon's first real
+    # request otherwise pays the batcher programs' minutes-long first
+    # compile AFTER the daemon advertised readiness (review finding)
+    if batcher is not None:
+        batcher.start()
+        ids, n_text = engine._encode_text("warmup")
+        batcher.submit(np.asarray(ids), int(n_text),
+                       seed=0).result(timeout=1800)
+    else:
+        engine.synthesize("warmup", language="english", seed=0)
     daemon = TTSDaemon(engine, args.socket, batcher=batcher)
     srv = None
     if args.http:

@@ -67,20 +67,10 @@ def _wav_bytes(audio_int16: np.ndarray) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     daemon_ref: TTSDaemon = None   # set by serve_http
-    engine_lock: threading.Lock = None  # serializes engine-mode requests
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):   # quiet by default
         pass
-
-    def _engine_serial(self):
-        """Engine mode serves one request at a time (the daemon's Unix
-        loops enforce this by construction); batched mode is the
-        concurrency tier, so its requests pass through un-serialized."""
-        if self.daemon_ref.batcher is None:
-            return self.engine_lock
-        import contextlib
-        return contextlib.nullcontext()
 
     # -- helpers ------------------------------------------------------------
 
@@ -216,8 +206,7 @@ class _Handler(BaseHTTPRequestHandler):
                                      + pcm + b"\r\n")
                     self.wfile.flush()
 
-            with self._engine_serial():
-                resp = self.daemon_ref.handle(raw, send_frame)
+            resp = self.daemon_ref.handle(raw, send_frame)
             if resp is not None:
                 # early failures come back as a blob, not via send_frame
                 header, _ = decode_response(resp)
@@ -234,8 +223,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")
             return None
 
-        with self._engine_serial():
-            payload = self.daemon_ref.handle(raw)
+        payload = self.daemon_ref.handle(raw)
         header, audio = decode_response(payload)
         if "error" in header:
             # client-side params were pre-validated above, so anything
@@ -282,8 +270,7 @@ class _Handler(BaseHTTPRequestHandler):
                                  + payload + b"\r\n")
                 self.wfile.flush()
 
-            with self._engine_serial():
-                resp = self.daemon_ref.handle(raw, send_frame)
+            resp = self.daemon_ref.handle(raw, send_frame)
             if resp is not None:
                 # early failures (empty text, bad params) come back as a
                 # blob instead of through send_frame — forward it as the
@@ -295,8 +282,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")
             return None
 
-        with self._engine_serial():
-            payload = self.daemon_ref.handle(raw)
+        payload = self.daemon_ref.handle(raw)
         header, audio = decode_response(payload)
         if "error" in header:
             return self._json(400, header)
@@ -394,9 +380,7 @@ def serve_http(daemon: TTSDaemon, host: str = "127.0.0.1",
     """Start the HTTP gateway on a background thread; returns the server
     (call ``.shutdown()`` to stop). The daemon's ``handle`` does the
     work; this only owns the transport."""
-    handler = type("BoundHandler", (_Handler,),
-                   {"daemon_ref": daemon,
-                    "engine_lock": threading.Lock()})
+    handler = type("BoundHandler", (_Handler,), {"daemon_ref": daemon})
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -85,9 +85,14 @@ def main(argv=None) -> int:
         print(f"Saved prompt_dir: {args.output_dir}")
         decoded_path = os.path.join(args.output_dir, "ref_decoded.wav")
     else:
-        np.save(args.output, codes)
-        print(f"Saved: {args.output}")
-        decoded_path = args.output.replace(".npy", "_decoded.wav")
+        # np.save appends .npy when missing — name things by the REAL
+        # saved path (review finding: '--output voice' printed the wrong
+        # name and wrote the WAV to the tokens' path)
+        out = (args.output if args.output.endswith(".npy")
+               else args.output + ".npy")
+        np.save(out, codes)
+        print(f"Saved: {out}")
+        decoded_path = os.path.splitext(out)[0] + "_decoded.wav"
 
     # decode-back verification through the vocoder (left-context chunking,
     # the real model's streaming-decode semantics)

@@ -76,19 +76,35 @@ def main(argv=None) -> int:
     tokenizer = load_tokenizer(args.model_dir)
 
     print("Starting protocol servers...")
-    servers, _ = compat.launch_all(params, cfg, tokenizer,
-                                   talker_sock, cp_sock, voc_sock)
+    # unlink stale socket files first: a crashed previous run's leftover
+    # path would satisfy an existence poll before the new servers bind
+    # (review finding)
+    for sp in (talker_sock, cp_sock, voc_sock):
+        if os.path.exists(sp):
+            os.unlink(sp)
+    servers, threads = compat.launch_all(params, cfg, tokenizer,
+                                         talker_sock, cp_sock, voc_sock)
 
     # socket-readiness polling (reference wait_for_socket,
-    # launch_qwen3_tts.sh:85-104)
+    # launch_qwen3_tts.sh:85-104) — probe with a real connect, not just
+    # path existence
+    import socket as _socket
     deadline = time.time() + 30
-    for s in (talker_sock, cp_sock, voc_sock):
-        while not os.path.exists(s):
+    for sp in (talker_sock, cp_sock, voc_sock):
+        while True:
+            if os.path.exists(sp):
+                probe = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+                try:
+                    probe.connect(sp)
+                    probe.close()
+                    break
+                except OSError:
+                    probe.close()
             if time.time() > deadline:
-                print(f"ERROR: socket {s} never appeared")
+                print(f"ERROR: socket {sp} never became connectable")
                 return 1
             time.sleep(0.1)
-        print(f"  ready: {s}")
+        print(f"  ready: {sp}")
 
     def cleanup(*_):
         for s in servers:
@@ -100,8 +116,15 @@ def main(argv=None) -> int:
 
     if args.daemon:
         print("Daemon mode; Ctrl-C to stop.")
-        while True:
+        # supervise: exit non-zero if a server thread dies (the reference
+        # launcher's liveness checks; review finding — a dead server
+        # otherwise left an apparently-healthy process refusing clients)
+        while all(t.is_alive() for t in threads):
             time.sleep(1)
+        print("ERROR: a protocol server thread died; exiting")
+        for s in servers:
+            s.stop()
+        return 1
 
     text = args.text or "Привет, как дела? Сегодня хорошая погода для прогулки."
     print(f"Single-shot synthesis: '{text[:50]}'")

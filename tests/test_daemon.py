@@ -405,3 +405,40 @@ def test_daemon_main_exit_nonzero_on_serve_failure(tmp_path):
     out = proc.stdout.decode(errors="replace")
     assert proc.returncode == 1, out
     assert "serve loop failed" in out
+
+
+def test_daemon_main_batched_warmup_and_sigterm(tmp_path):
+    """`qwen3-tts-daemon --batch N`: the warmup now runs THROUGH the
+    batcher (the tier that actually serves), the daemon then serves a
+    batched request, and SIGTERM still drains cleanly (exit 0, socket
+    unlinked)."""
+    import signal
+    import subprocess
+    import sys
+
+    sock = str(tmp_path / "batched_sig.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "qwen3_tts_tpu.serve.daemon",
+         "--tiny", "--platform", "cpu", "--socket", sock,
+         "--batch", "2", "--decode_chunk", "4", "--python_loop"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 420
+        while not os.path.exists(sock):
+            assert proc.poll() is None, (
+                "daemon died before listening:\n"
+                + proc.stdout.read().decode(errors="replace"))
+            assert time.time() < deadline, "daemon socket never appeared"
+            time.sleep(0.1)
+        client = DaemonClient(sock)
+        header, audio = client.synthesize("batched signal", seed=2,
+                                          language="english")
+        assert header["n_tokens"] > 0
+        assert len(audio) == header["n_tokens"] * 1920
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=90)
+        assert proc.returncode == 0, out.decode(errors="replace")
+        assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

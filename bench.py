@@ -118,9 +118,10 @@ def main() -> int:
             if res.first_audio_seconds is not None:
                 first_audio.append(res.first_audio_seconds)
             stream_rtfs.append(res.rtf)
+            fa = (f"{res.first_audio_seconds:.3f}s"
+                  if res.first_audio_seconds is not None else "n/a")
             log(f"stream trial {tag}{trial}: n={res.n_tokens} "
-                f"RTF={res.rtf:.4f} "
-                f"first_audio={res.first_audio_seconds:.3f}s")
+                f"RTF={res.rtf:.4f} first_audio={fa}")
 
     _stream_round("")
     if stream_rtfs and max(stream_rtfs) > 0.1:
@@ -131,7 +132,8 @@ def main() -> int:
         _stream_round("r")
 
     rtf = float(np.median(rtfs)) if rtfs else float("inf")
-    log(f"median RTF={rtf:.4f}  {np.median(ms_tok):.2f} ms/tok  "
+    med_ms = float(np.median(ms_tok)) if ms_tok else float("nan")
+    log(f"median RTF={rtf:.4f}  {med_ms:.2f} ms/tok  "
         f"first_audio_p50={np.median(first_audio) if first_audio else None}"
         f"  (targets: RTF<=0.1, first-audio<0.3s; reference RTF=2.0)")
     # regression guard: streaming must also beat the RTF target. Median
@@ -150,9 +152,12 @@ def main() -> int:
     # only a stderr FAIL line (round-2 advisor finding)
     print(json.dumps({
         "metric": "rtf_e2e",
-        "value": round(rtf, 4),
+        # inf (no successful trial) must not leak into the JSON line —
+        # json.dumps would emit the non-standard 'Infinity' token
+        "value": round(rtf, 4) if rtf != float("inf") else None,
         "unit": "x_realtime",
-        "vs_baseline": round(2.0 / rtf, 1) if rtf > 0 else None,
+        "vs_baseline": (round(2.0 / rtf, 1)
+                        if 0 < rtf < float("inf") else None),
         "stream_rtf_median": (round(med_stream, 4)
                               if med_stream != float("inf") else None),
         "first_audio_p50_s": (round(float(np.median(first_audio)), 4)

@@ -56,7 +56,13 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
 
-    # (B, Hkv, G, Dh) -> rows of the grid; K to (B, Hkv, S, Dh)
+    # (B, Hkv, G, Dh) -> rows of the grid; K to (B, Hkv, S, Dh).
+    # NOTE (review finding): these swapaxes materialize transposed copies
+    # of the per-layer cache each step — acceptable only because this
+    # kernel is the OPT-IN attn_impl="pallas" path (the default decode
+    # runs XLA attention or the fused talker-step kernel, neither of
+    # which pays this); a (B, Hkv) grid over the native layout would
+    # remove the copy if this path ever becomes a default.
     qg = q.reshape(B, Hkv, G, Dh).reshape(B * Hkv, G, Dh)
     kg = jnp.swapaxes(k, 1, 2).reshape(B * Hkv, S, Dh)
     vg = jnp.swapaxes(v, 1, 2).reshape(B * Hkv, S, Dh)

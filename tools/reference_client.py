@@ -24,19 +24,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HIDDEN_SIZE = 1024
 SENTINEL_DONE = -1
 SENTINEL_ERROR = -2
 
 
-def _recv_exact(c, n):
-    data = b""
-    while len(data) < n:
-        chunk = c.recv(n - len(data))
-        if not chunk:
-            return None
-        data += chunk
-    return data
+# one shared implementation of the framing-critical recv loop (the same
+# helper compat.py imports; review finding — a verbatim fork here would
+# miss future fixes)
+from qwen3_tts_tpu.serve.daemon import _recv_exact  # noqa: E402
 
 
 def synthesize_via_sockets(text, language, output, params,
@@ -72,12 +67,20 @@ def synthesize_via_sockets(text, language, output, params,
         if code0 == SENTINEL_ERROR:
             print("Talker error!")
             return 1
-        hidden = np.frombuffer(_recv_exact(tc, H * 4), np.float32)
+        hdat = _recv_exact(tc, H * 4)
+        if hdat is None:
+            print("Talker closed mid-stream (error sentinel or disconnect)")
+            return 1
+        hidden = np.frombuffer(hdat, np.float32)
 
         cc = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         cc.connect(cp_sock)
         cc.sendall(hidden.tobytes() + struct.pack("<i", code0))
-        codes_1_15 = np.frombuffer(_recv_exact(cc, 60), np.int32)
+        cdat = _recv_exact(cc, 60)
+        if cdat is None:
+            print("Code-predictor server closed mid-reply")
+            return 1
+        codes_1_15 = np.frombuffer(cdat, np.int32)
         cc.close()
 
         all_codes.append([code0] + codes_1_15.tolist())
@@ -99,8 +102,16 @@ def synthesize_via_sockets(text, language, output, params,
     vc.connect(voc_sock)
     codes_arr = np.array(all_codes, np.int64)
     vc.sendall(struct.pack("<i", len(codes_arr)) + codes_arr.tobytes())
-    n_samples = struct.unpack("<i", _recv_exact(vc, 4))[0]
-    audio = np.frombuffer(_recv_exact(vc, n_samples * 2), np.int16)
+    vhdr = _recv_exact(vc, 4)
+    if vhdr is None:
+        print("Vocoder server closed before reply")
+        return 1
+    n_samples = struct.unpack("<i", vhdr)[0]
+    adat = _recv_exact(vc, n_samples * 2)
+    if adat is None:
+        print("Vocoder server closed mid-reply")
+        return 1
+    audio = np.frombuffer(adat, np.int16)
     vc.close()
 
     wav_io.write_wav(output, audio)

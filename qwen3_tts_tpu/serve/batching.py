@@ -288,6 +288,11 @@ class ContinuousBatcher:
         if self._state_shardings is not None:
             self._state = jax.device_put(self._state, self._state_shardings)
         self._slot_req: List[Optional[_Request]] = [None] * batch_size
+        # (done, pos) host mirrors stashed by the harvest's combined
+        # post-run fetch: step() consumes them instead of re-fetching the
+        # same values, removing one blocking d2h round trip per decode
+        # chunk (~30-100 ms each through the tunnel). None = must fetch.
+        self._status_mirror: Optional[tuple] = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._draining = False
@@ -455,6 +460,9 @@ class ContinuousBatcher:
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("batcher stopped"))
+        # the mark-done / release below change device state the stashed
+        # (done, pos) mirrors no longer describe
+        self._status_mirror = None
         abandoned = [s for s in range(self.batch_size)
                      if self._slot_req[s] is not None]
         if abandoned:
@@ -729,9 +737,13 @@ class ContinuousBatcher:
         return jobs
 
     def _harvest(self) -> int:
-        # ONE combined round trip for the post-run status
-        done, n_codes = (np.asarray(a) for a in jax.device_get(
-            (self._state.done, self._state.n_codes)))
+        # ONE combined round trip for the post-run status; pos rides along
+        # for free and the (done, pos) pair is stashed for the next
+        # step()'s admission pass (nothing between here and there mutates
+        # them on device: _release/_grow_many only touch kv table state)
+        done, n_codes, pos = (np.asarray(a) for a in jax.device_get(
+            (self._state.done, self._state.n_codes, self._state.pos)))
+        self._status_mirror = (done.copy(), pos.copy())
         now = time.perf_counter()
         streaming_work = False
         for s in range(self.batch_size):
@@ -824,13 +836,18 @@ class ContinuousBatcher:
     def step(self) -> bool:
         """One scheduler iteration. Returns True if any work happened.
 
-        ONE blocking round trip per chunk (the harvest's post-run status):
-        the pre-run status fetch reads already-computed values, admissions
-        update the host mirrors in place, and the prefill / insert / page
-        grow / decode dispatches are all async — so host scheduling work
-        overlaps the device's decode chunk instead of serializing with it."""
-        done, pos = (np.asarray(a).copy() for a in jax.device_get(
-            (self._state.done, self._state.pos)))
+        ONE blocking round trip per chunk (the harvest's post-run status,
+        which also stashes the (done, pos) mirrors this step's admission
+        pass consumes — no pre-run fetch): admissions update the host
+        mirrors in place, and the prefill / insert / page grow / decode
+        dispatches are all async — so host scheduling work overlaps the
+        device's decode chunk instead of serializing with it."""
+        if self._status_mirror is not None:
+            done, pos = self._status_mirror
+            self._status_mirror = None
+        else:
+            done, pos = (np.asarray(a).copy() for a in jax.device_get(
+                (self._state.done, self._state.pos)))
         admitted = self._admit(done, pos)
         busy = any(r is not None for r in self._slot_req)
         if busy:
@@ -841,6 +858,10 @@ class ContinuousBatcher:
                                     self._state)
             self._harvest()
             return True
+        # idle: nothing was admitted and nothing ran, so the mirrors still
+        # describe the device state — keep them for the next poll instead
+        # of paying a fetch every idle iteration
+        self._status_mirror = (done, pos)
         return admitted > 0
 
     def _loop(self) -> None:
@@ -883,6 +904,7 @@ class ContinuousBatcher:
         slots' Futures, release their pages, and mark them done on device
         so admission can recycle them. Queued/backlogged requests survive
         (the healed scheduler retries them) unless ``drain_queue``."""
+        self._status_mirror = None   # device state is suspect / about to change
         inflight = [s for s in range(self.batch_size)
                     if self._slot_req[s] is not None]
         for s in inflight:

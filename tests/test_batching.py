@@ -506,3 +506,30 @@ def test_restart_after_failure_halt():
         assert len(audio) == len(codes) * 1920
     finally:
         b.stop()
+
+
+def test_status_mirror_tracks_device_state(batcher):
+    """The harvest-stashed (done, pos) mirrors that step() consumes in
+    place of a pre-run device fetch must equal the actual device status
+    at every scheduler iteration (a stale mirror would admit into a busy
+    slot or skip a free one)."""
+    import jax
+
+    futures = []
+    for i, text in enumerate(["mirror", "check", "third"]):
+        ids, n = _ids(text)
+        futures.append(batcher.submit(ids, n, seed=100 + i))
+    for _ in range(400):
+        if batcher._status_mirror is not None:
+            done_m, pos_m = batcher._status_mirror
+            done_d, pos_d = (np.asarray(a) for a in jax.device_get(
+                (batcher._state.done, batcher._state.pos)))
+            np.testing.assert_array_equal(done_m, done_d)
+            np.testing.assert_array_equal(pos_m, pos_d)
+        if all(f.done() for f in futures):
+            break
+        batcher.step()
+    assert all(f.done() for f in futures)
+    for f in futures:
+        codes, audio = f.result(timeout=1)
+        assert len(audio) == len(codes) * 1920

@@ -160,7 +160,8 @@ class ContinuousBatcher:
                  quantize_cp: bool = True,
                  paged: bool = False, page_size: int = 64,
                  pool_pages: Optional[int] = None,
-                 max_pages_per_slot: Optional[int] = None):
+                 max_pages_per_slot: Optional[int] = None,
+                 pipeline_depth: int = 1):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
@@ -179,7 +180,22 @@ class ContinuousBatcher:
         CP runs the sharded scan path (QTensor sharding specs in
         parallel/mesh.adapt_spec_to_params). ``quantize_talker`` stays
         single-chip: its fused qkv/gateup int8 layout has no mesh specs
-        because bf16 is measured faster at serving batch sizes anyway."""
+        because bf16 is measured faster at serving batch sizes anyway.
+
+        ``pipeline_depth``: 1 (default) harvests each decode chunk before
+        dispatching the next — the device idles for one d2h round trip
+        per chunk while the host reads the post-run status. 2 dispatches
+        chunk k+1 BEFORE harvesting chunk k (speculative chunk
+        pipelining), hiding that round trip behind device compute —
+        higher steady-state throughput, at the cost of results and
+        streaming emissions surfacing one chunk later (device programs
+        execute in dispatch order, so a chunk's vocoder windows queue
+        behind the next speculative chunk) and finished slots burning one
+        frozen (no-op) chunk before recycling."""
+        if pipeline_depth not in (1, 2):
+            raise ValueError(f"pipeline_depth must be 1 or 2, "
+                             f"got {pipeline_depth}")
+        self.pipeline_depth = pipeline_depth
         self.cfg = cfg
         if quantize_talker and mesh is None:
             from qwen3_tts_tpu.ops import quant as quant_ops
@@ -293,6 +309,9 @@ class ContinuousBatcher:
         # same values, removing one blocking d2h round trip per decode
         # chunk (~30-100 ms each through the tunnel). None = must fetch.
         self._status_mirror: Optional[tuple] = None
+        # pipeline_depth=2: the run output dispatched last step, harvested
+        # one step late (after the next chunk is already in flight)
+        self._pending = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._draining = False
@@ -463,6 +482,7 @@ class ContinuousBatcher:
         # the mark-done / release below change device state the stashed
         # (done, pos) mirrors no longer describe
         self._status_mirror = None
+        self._pending = None
         abandoned = [s for s in range(self.batch_size)
                      if self._slot_req[s] is not None]
         if abandoned:
@@ -523,15 +543,15 @@ class ContinuousBatcher:
         except queue.Empty:
             return None
 
-    def _admit(self, done: np.ndarray, pos: np.ndarray) -> int:
-        """Admit queued requests into free slots. Updates the caller's
-        host-side ``done``/``pos`` mirrors in place (an admitted slot's
-        done is False and its position is n_text + PREFIX_EXTRA — both
-        host-computable), so the paged top-up never needs a post-admission
-        device refresh round trip."""
+    def _admit(self, done: np.ndarray, pos: np.ndarray) -> List[int]:
+        """Admit queued requests into free slots; returns the admitted
+        slot ids. Updates the caller's host-side ``done``/``pos`` mirrors
+        in place (an admitted slot's done is False and its position is
+        n_text + PREFIX_EXTRA — both host-computable), so the paged
+        top-up never needs a post-admission device refresh round trip."""
         from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
 
-        admitted = 0
+        admitted: List[int] = []
         exhausted = False
         for slot in self._free_slots(done):
             if exhausted:
@@ -581,7 +601,7 @@ class ContinuousBatcher:
                 req.t_admit = time.perf_counter()
                 done[slot] = False
                 pos[slot] = int(req.n_text) + PREFIX_EXTRA
-                admitted += 1
+                admitted.append(slot)
                 break
         return admitted
 
@@ -667,7 +687,7 @@ class ContinuousBatcher:
                 if self._slot_req[slot] is None or done[slot]:
                     continue
                 if (len(self._slot_pages[slot]) * psz - int(pos[slot])
-                        >= self.decode_chunk + 2):
+                        >= self.pipeline_depth * self.decode_chunk + 2):
                     continue
                 if len(self._slot_pages[slot]) >= self.max_pages_per_slot:
                     continue   # slot finishes at capacity
@@ -702,7 +722,7 @@ class ContinuousBatcher:
     stream_emit_tokens = 48
     stream_head_tokens = 8
 
-    def _dispatch_stream_windows(self, done, n_codes):
+    def _dispatch_stream_windows(self, state, done, n_codes, skip):
         """Per-slot streaming emissions, dispatch phase: decode each
         streaming slot's new tokens through a conv-exact full-left-
         context DEVICE window (the same construction as the engine's
@@ -714,7 +734,7 @@ class ContinuousBatcher:
         jobs = []
         for slot in range(self.batch_size):
             req = self._slot_req[slot]
-            if req is None or req.on_chunk is None:
+            if req is None or req.on_chunk is None or slot in skip:
                 continue
             if req.stream_error is not None:
                 # a failed window fetch left a hole that cannot be
@@ -731,53 +751,69 @@ class ContinuousBatcher:
                 continue
             W = voc.voc_bucket(end + 1)
             fut = self._voc_slot(self.params["vocoder"],
-                                 self._state.codes[slot], W=W)
+                                 state.codes[slot], W=W)
             jobs.append((req, fut, req.rendered, end))
             req.rendered = end
         return jobs
 
-    def _harvest(self) -> int:
+    def _harvest(self, state, skip=frozenset(), local_status=None) -> int:
+        """Read ``state``'s post-run status, emit streaming windows, and
+        resolve finished slots. ``state`` is the run output to harvest —
+        the chain tail at pipeline_depth=1, the PREVIOUS chunk's output
+        (one behind the tail) at depth 2. ``skip``: slots admitted after
+        ``state`` was dispatched (depth 2): the fetched status predates
+        their insert, so they are excluded from every per-slot decision
+        and keep their admit-time mirror values from ``local_status``."""
         # ONE combined round trip for the post-run status; pos rides along
         # for free and the (done, pos) pair is stashed for the next
         # step()'s admission pass (nothing between here and there mutates
         # them on device: _release/_grow_many only touch kv table state)
         done, n_codes, pos = (np.asarray(a) for a in jax.device_get(
-            (self._state.done, self._state.n_codes, self._state.pos)))
-        self._status_mirror = (done.copy(), pos.copy())
+            (state.done, state.n_codes, state.pos)))
+        m_done, m_pos = done.copy(), pos.copy()
+        if skip and local_status is not None:
+            ld, lp = local_status
+            for sl in skip:
+                m_done[sl], m_pos[sl] = ld[sl], lp[sl]
+        self._status_mirror = (m_done, m_pos)
         now = time.perf_counter()
         streaming_work = False
         for s in range(self.batch_size):
+            if s in skip:
+                continue
             r = self._slot_req[s]
             if r is not None and r.t_first is None and n_codes[s] > 0:
                 r.t_first = now   # first token observed (chunk granularity)
             if r is not None and r.on_chunk is not None and n_codes[s] > 0:
                 streaming_work = True
         finished_slots = [s for s in range(self.batch_size)
-                          if self._slot_req[s] is not None and done[s]]
+                          if self._slot_req[s] is not None and done[s]
+                          and s not in skip]
         if not finished_slots and not streaming_work:
             return 0
         # dispatch every vocoder window on DEVICE codes first (chained
         # behind the decode chunk), so the codes fetch below overlaps
         # their execution instead of gating their dispatch
-        stream_jobs = self._dispatch_stream_windows(done, n_codes)
+        stream_jobs = self._dispatch_stream_windows(state, done, n_codes,
+                                                    skip)
         voc_futs = {}
         for slot in finished_slots:
             req = self._slot_req[slot]
             n = int(n_codes[slot])
             if req.on_chunk is None and 0 < n <= 256:
                 voc_futs[slot] = self._voc_slot(
-                    self.params["vocoder"], self._state.codes[slot],
+                    self.params["vocoder"], state.codes[slot],
                     W=voc.voc_bucket(n + 1))
         # start every pending d2h transfer together (slot codes + all
         # dispatched windows): the fetch loops below then drain one
         # overlapped burst instead of paying a round trip per window
         if finished_slots:
-            self._state.codes.copy_to_host_async()
+            state.codes.copy_to_host_async()
         for _, fut_, _, _ in stream_jobs:
             fut_.copy_to_host_async()
         for fut_ in voc_futs.values():
             fut_.copy_to_host_async()
-        codes_all = (np.asarray(jax.device_get(self._state.codes))
+        codes_all = (np.asarray(jax.device_get(state.codes))
                      if finished_slots else None)
         spt = SAMPLES_PER_TOKEN
         for req, fut, start, end in stream_jobs:
@@ -841,7 +877,11 @@ class ContinuousBatcher:
         pass consumes — no pre-run fetch): admissions update the host
         mirrors in place, and the prefill / insert / page grow / decode
         dispatches are all async — so host scheduling work overlaps the
-        device's decode chunk instead of serializing with it."""
+        device's decode chunk instead of serializing with it. At
+        pipeline_depth=2 even that round trip overlaps compute: the next
+        chunk is dispatched before the previous chunk's harvest, and the
+        harvest excludes this step's admissions (the fetched status
+        predates their insert)."""
         if self._status_mirror is not None:
             done, pos = self._status_mirror
             self._status_mirror = None
@@ -853,16 +893,29 @@ class ContinuousBatcher:
         if busy:
             if self.paged:
                 self._top_up_pages(pos, done)
-            self._state = self._run(self.params["talker"],
-                                    self.params["code_predictor"],
-                                    self._state)
-            self._harvest()
+            new = self._run(self.params["talker"],
+                            self.params["code_predictor"],
+                            self._state)
+            self._state = new
+            if self.pipeline_depth == 1:
+                self._harvest(new)
+            else:
+                # speculative chunk pipelining: the NEXT chunk is already
+                # dispatched above, so this harvest's blocking status
+                # fetch (which waits for the PREVIOUS chunk) overlaps
+                # device compute instead of stalling it
+                prev, self._pending = self._pending, new
+                if prev is not None:
+                    self._harvest(prev, skip=frozenset(admitted),
+                                  local_status=(done, pos))
             return True
         # idle: nothing was admitted and nothing ran, so the mirrors still
         # describe the device state — keep them for the next poll instead
-        # of paying a fetch every idle iteration
+        # of paying a fetch every idle iteration (the drained speculative
+        # chunk, if any, was a frozen no-op: all slots were done)
+        self._pending = None
         self._status_mirror = (done, pos)
-        return admitted > 0
+        return len(admitted) > 0
 
     def _loop(self) -> None:
         # an unexpected step() error (device fault, harvest bug) must not
@@ -905,6 +958,7 @@ class ContinuousBatcher:
         so admission can recycle them. Queued/backlogged requests survive
         (the healed scheduler retries them) unless ``drain_queue``."""
         self._status_mirror = None   # device state is suspect / about to change
+        self._pending = None
         inflight = [s for s in range(self.batch_size)
                     if self._slot_req[s] is not None]
         for s in inflight:

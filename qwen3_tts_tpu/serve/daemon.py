@@ -707,6 +707,13 @@ def main(argv=None) -> int:
                         "decouples from the dense max_seq_len allocation "
                         "and KV memory tracks actual usage")
     p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--pipeline_depth", type=int, default=1, choices=[1, 2],
+                   help="Batched-mode chunk pipelining: 2 dispatches the "
+                        "next decode chunk before harvesting the previous "
+                        "one, hiding the per-chunk status round trip "
+                        "behind device compute (throughput-oriented; "
+                        "results and streaming frames surface one chunk "
+                        "later)")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
@@ -750,7 +757,8 @@ def main(argv=None) -> int:
                                     batch_size=args.batch, dtype=dtype,
                                     decode_chunk=args.decode_chunk,
                                     paged=args.paged,
-                                    page_size=args.page_size)
+                                    page_size=args.page_size,
+                                    pipeline_depth=args.pipeline_depth)
     # warm the compile caches before accepting requests — through the
     # tier that will actually serve: a batched daemon's first real
     # request otherwise pays the batcher programs' minutes-long first

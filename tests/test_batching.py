@@ -533,3 +533,74 @@ def test_status_mirror_tracks_device_state(batcher):
     for f in futures:
         codes, audio = f.result(timeout=1)
         assert len(audio) == len(codes) * 1920
+
+
+def _collect(b, texts, seeds, stream_idx=None):
+    futs, streams = [], {}
+    for i, t in enumerate(texts):
+        ids, n = _ids(t)
+        on_chunk = None
+        if stream_idx is not None and i == stream_idx:
+            segs = streams.setdefault(i, [])
+            on_chunk = segs.append
+        futs.append(b.submit(ids, n, seed=seeds[i], on_chunk=on_chunk))
+    for _ in range(600):
+        if all(f.done() for f in futs):
+            break
+        b.step()
+    assert all(f.done() for f in futs)
+    return [f.result(timeout=1) for f in futs], streams
+
+
+def test_pipeline_depth2_matches_depth1():
+    """Speculative chunk pipelining (depth 2) must produce EXACTLY the
+    codes and audio of the default depth-1 scheduler for the same seeds
+    (lockstep decode is prefix-stable, so scheduling must not leak into
+    results), including across slot recycling and a streaming request."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    texts = ["abc", "defg", "hi", "jklmn", "op"]
+    seeds = list(range(5))
+    res = {}
+    for depth in (1, 2):
+        b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                              dtype=jnp.float32, pipeline_depth=depth)
+        res[depth], streams = _collect(b, texts, seeds, stream_idx=1)
+        # the streaming request's emitted segments concat to its blob
+        segs = streams[1]
+        np.testing.assert_array_equal(
+            np.concatenate(segs) if segs else np.zeros((0,), np.int16),
+            res[depth][1][1])
+    for (c1, a1), (c2, a2) in zip(res[1], res[2]):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(a1, a2)
+
+
+def test_pipeline_depth2_paged_and_budget():
+    """Depth 2 composes with the paged pool, and a per-request max_tokens
+    budget still frees the slot at the budget."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32, paged=True, page_size=8,
+                          pipeline_depth=2)
+    ids, n = _ids("budgeted")
+    ids2, n2 = _ids("full len")
+    f1 = b.submit(ids, n, seed=3, max_tokens=2)
+    f2 = b.submit(ids2, n2, seed=4)
+    for _ in range(600):
+        if f1.done() and f2.done():
+            break
+        b.step()
+    c1, a1 = f1.result(timeout=1)
+    c2, a2 = f2.result(timeout=1)
+    assert len(c1) == 2 and len(a1) == 2 * 1920
+    assert len(a2) == len(c2) * 1920
+    # solo parity under paging + speculation
+    b1 = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                           dtype=jnp.float32)
+    fs = b1.submit(ids2, n2, seed=4)
+    for _ in range(600):
+        if fs.done():
+            break
+        b1.step()
+    c_ref, _ = fs.result(timeout=1)
+    np.testing.assert_array_equal(c2, c_ref)

@@ -27,6 +27,7 @@ def main() -> int:
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     qt = "int8" in sys.argv[3:]
     paged = "paged" in sys.argv[3:]
+    depth = 2 if "pipe2" in sys.argv[3:] else 1
     n_requests = batch * 3
 
     import jax
@@ -38,7 +39,8 @@ def main() -> int:
 
     _enable_compile_cache()
     print(f"device: {jax.devices()[0]}  batch={batch} chunk={chunk} "
-          f"int8_talker={qt} paged={paged} requests={n_requests}",
+          f"int8_talker={qt} paged={paged} depth={depth} "
+          f"requests={n_requests}",
           file=sys.stderr, flush=True)
 
     cfg = TTSConfig()
@@ -47,7 +49,7 @@ def main() -> int:
     b = ContinuousBatcher(cfg, engine.params, batch_size=batch,
                           decode_chunk=chunk, dtype=jnp.bfloat16,
                           quantize_talker=qt, quantize_cp=qcp,
-                          paged=paged)
+                          paged=paged, pipeline_depth=depth)
     texts = [f"benchmark sentence number {i} with some words."
              for i in range(n_requests)]
 

@@ -190,8 +190,10 @@ class ContinuousBatcher:
         higher steady-state throughput, at the cost of results and
         streaming emissions surfacing one chunk later (device programs
         execute in dispatch order, so a chunk's vocoder windows queue
-        behind the next speculative chunk) and finished slots burning one
-        frozen (no-op) chunk before recycling."""
+        behind the next speculative chunk), finished slots burning one
+        frozen (no-op) chunk before recycling, and one extra GenState
+        pinned in HBM (the un-harvested chunk's output — the full KV
+        pool plus codes buffers; no buffer donation)."""
         if pipeline_depth not in (1, 2):
             raise ValueError(f"pipeline_depth must be 1 or 2, "
                              f"got {pipeline_depth}")
@@ -909,13 +911,14 @@ class ContinuousBatcher:
                     self._harvest(prev, skip=frozenset(admitted),
                                   local_status=(done, pos))
             return True
-        # idle: nothing was admitted and nothing ran, so the mirrors still
+        # idle: nothing was admitted (any admission sets _slot_req, which
+        # makes busy True above) and nothing ran, so the mirrors still
         # describe the device state — keep them for the next poll instead
         # of paying a fetch every idle iteration (the drained speculative
         # chunk, if any, was a frozen no-op: all slots were done)
         self._pending = None
         self._status_mirror = (done, pos)
-        return len(admitted) > 0
+        return False
 
     def _loop(self) -> None:
         # an unexpected step() error (device fault, harvest bug) must not

@@ -46,9 +46,11 @@ class _Request:
         self.n_text = n_text
         self.seed = seed
         self.max_tokens = max_tokens
-        # set by the submitter (e.g. a daemon timeout) to withdraw an
-        # un-admitted request: _admit skips it instead of decoding a full
-        # utterance for a dead connection
+        # set by the submitter (e.g. a daemon timeout / dead connection)
+        # to withdraw the request: _admit skips it while queued, and an
+        # ADMITTED slot is freed at the next chunk boundary (its future
+        # fails with "request cancelled") instead of decoding the rest of
+        # the utterance for nobody
         self.cancelled = False
         # streaming: called with each new int16 audio segment as soon
         # as its tokens are final (conv-exact windows, paced emissions).
@@ -545,6 +547,38 @@ class ContinuousBatcher:
         except queue.Empty:
             return None
 
+    def _evict_cancelled(self, done: np.ndarray) -> frozenset:
+        """Free admitted slots whose request was withdrawn (``cancelled``
+        set by the submitter — daemon timeout, dead connection): fail the
+        future, mark the slot done on device (ONE jitted update for the
+        round, chained on the tail so the next chunk freezes it), recycle
+        its pages, and flip the host mirror so this step's admission can
+        reuse the slot immediately. Returns the evicted slot ids (the
+        depth-2 harvest must exclude them: its fetched status predates
+        the mark-done)."""
+        victims = [s for s in range(self.batch_size)
+                   if self._slot_req[s] is not None
+                   and self._slot_req[s].cancelled and not done[s]]
+        if not victims:
+            return frozenset()
+        mask = np.zeros((self.batch_size,), bool)
+        mask[victims] = True
+        self._state = self._mark_done(self._state, jnp.asarray(mask))
+        for s in victims:
+            r = self._slot_req[s]
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("request cancelled"))
+            self._slot_req[s] = None
+            done[s] = True
+            if self.paged and self._slot_pages[s]:
+                # zero the table row before the pages recycle (same
+                # ordering contract as the harvest release path)
+                self._state = self._release(self._state, jnp.int32(s))
+                self._free_by_group[self._slot_group(s)].extend(
+                    self._slot_pages[s])
+                self._slot_pages[s] = []
+        return frozenset(victims)
+
     def _admit(self, done: np.ndarray, pos: np.ndarray) -> List[int]:
         """Admit queued requests into free slots; returns the admitted
         slot ids. Updates the caller's host-side ``done``/``pos`` mirrors
@@ -890,6 +924,7 @@ class ContinuousBatcher:
         else:
             done, pos = (np.asarray(a).copy() for a in jax.device_get(
                 (self._state.done, self._state.pos)))
+        cancelled = self._evict_cancelled(done)
         admitted = self._admit(done, pos)
         busy = any(r is not None for r in self._slot_req)
         if busy:
@@ -908,7 +943,8 @@ class ContinuousBatcher:
                 # device compute instead of stalling it
                 prev, self._pending = self._pending, new
                 if prev is not None:
-                    self._harvest(prev, skip=frozenset(admitted),
+                    self._harvest(prev,
+                                  skip=frozenset(admitted) | cancelled,
                                   local_status=(done, pos))
             return True
         # idle: nothing was admitted (any admission sets _slot_req, which

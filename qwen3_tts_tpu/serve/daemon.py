@@ -371,10 +371,11 @@ class TTSDaemon:
                 timeout_s = max(deadline - _time.monotonic(), 1.0)
             codes, audio = fut.result(timeout=timeout_s)
         except Exception as e:
-            # withdraw the request if it is still waiting for a slot:
-            # without this a timed-out (dead-connection) request would
-            # later be admitted and fully decoded for nobody, amplifying
-            # the very overload that caused the timeout
+            # withdraw the request: queued requests are skipped at
+            # admission, and an already-admitted slot is evicted at the
+            # next chunk boundary — without this a timed-out
+            # (dead-connection) request would decode a full utterance for
+            # nobody, amplifying the very overload that caused the timeout
             req_obj = getattr(fut, "request", None)
             if req_obj is not None:
                 req_obj.cancelled = True
@@ -454,7 +455,8 @@ class TTSDaemon:
                         {"chunk": idx, "n_samples": int(len(a16))}, a16))
                     idx += 1
         except Exception as e:
-            # withdraw the pieces still waiting for slots (see
+            # withdraw the pieces (queued ones skip admission, admitted
+            # ones are evicted at the next chunk boundary — see
             # _handle_batched: dead-connection work amplifies overload)
             for f in futs:
                 r = getattr(f, "request", None)

@@ -604,3 +604,65 @@ def test_pipeline_depth2_paged_and_budget():
         b1.step()
     c_ref, _ = fs.result(timeout=1)
     np.testing.assert_array_equal(c2, c_ref)
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_cancel_admitted_request_frees_slot(depth):
+    """Setting ``cancelled`` on an ADMITTED request must free its slot at
+    the next chunk boundary (future fails with 'request cancelled'), let
+    a queued request take the slot, and leave the surviving co-resident
+    request's output bit-identical to an undisturbed run."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    ref = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                            dtype=jnp.float32)
+    ids_a, n_a = _ids("survivor")
+    f_ref = ref.submit(ids_a, n_a, seed=7)
+    for _ in range(400):
+        if f_ref.done():
+            break
+        ref.step()
+    codes_ref, audio_ref = f_ref.result(timeout=1)
+
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32, pipeline_depth=depth)
+    f_surv = b.submit(ids_a, n_a, seed=7)
+    ids_b, n_b = _ids("doomed")
+    f_dead = b.submit(ids_b, n_b, seed=8)
+    ids_c, n_c = _ids("queued")
+    f_next = b.submit(ids_c, n_c, seed=9)
+    b.step()   # admit both, run first chunk
+    f_dead.request.cancelled = True
+    for _ in range(400):
+        if f_surv.done() and f_dead.done() and f_next.done():
+            break
+        b.step()
+    with pytest.raises(RuntimeError, match="cancelled"):
+        f_dead.result(timeout=1)
+    codes, audio = f_surv.result(timeout=1)
+    np.testing.assert_array_equal(codes, codes_ref)
+    np.testing.assert_array_equal(audio, audio_ref)
+    c_next, a_next = f_next.result(timeout=1)
+    assert len(a_next) == len(c_next) * 1920
+
+
+def test_cancel_admitted_paged_returns_pages():
+    """Evicting a cancelled admitted request in paged mode must return
+    its pages to the pool."""
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32, paged=True, page_size=8)
+    free_before = len(b._free_pages)
+    ids, n = _ids("doomed")
+    f = b.submit(ids, n, seed=1)
+    b.step()   # admit + first chunk
+    assert len(b._free_pages) < free_before
+    f.request.cancelled = True
+    for _ in range(50):
+        b.step()
+        if f.done():
+            break
+    with pytest.raises(RuntimeError, match="cancelled"):
+        f.result(timeout=1)
+    # pool fully recovered once the slot is evicted
+    assert len(b._free_pages) == free_before
+    assert b._slot_pages[0] == [] and b._slot_pages[1] == []

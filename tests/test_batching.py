@@ -666,3 +666,51 @@ def test_cancel_admitted_paged_returns_pages():
     # pool fully recovered once the slot is evicted
     assert len(b._free_pages) == free_before
     assert b._slot_pages[0] == [] and b._slot_pages[1] == []
+
+
+def test_scheduler_chaos_invariants():
+    """Property test: random interleavings of submissions, cancellations
+    (queued AND admitted), streaming requests, and per-request budgets
+    must leave the scheduler with every future resolved, every slot free,
+    and (in paged mode) every page back in the pool."""
+    rng = np.random.default_rng(1234)
+    params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
+    for paged, depth in ((False, 1), (True, 2)):
+        b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
+                              dtype=jnp.float32, paged=paged, page_size=8,
+                              pipeline_depth=depth)
+        free0 = len(b._free_pages) if paged else None
+        futs = []
+        for i in range(18):
+            ids, n = _ids(f"chaos {i}")
+            kw = {}
+            if rng.random() < 0.3:
+                kw["max_tokens"] = int(rng.integers(1, 6))
+            if rng.random() < 0.3:
+                kw["on_chunk"] = [].append
+            futs.append(b.submit(ids, n, seed=i, **kw))
+            # random scheduling progress and cancellations
+            for _ in range(int(rng.integers(0, 3))):
+                b.step()
+            if rng.random() < 0.4:
+                victim = futs[int(rng.integers(0, len(futs)))]
+                victim.request.cancelled = True
+        for _ in range(600):
+            if all(f.done() for f in futs):
+                break
+            b.step()
+        assert all(f.done() for f in futs), "scheduler wedged"
+        resolved = cancelled = 0
+        for f in futs:
+            try:
+                codes, audio = f.result(timeout=1)
+                assert len(audio) == len(codes) * 1920
+                resolved += 1
+            except RuntimeError as e:
+                assert "cancelled" in str(e)
+                cancelled += 1
+        assert resolved + cancelled == len(futs)
+        assert all(r is None for r in b._slot_req), "slot leaked"
+        if paged:
+            assert len(b._free_pages) == free0, "pages leaked"
+            assert all(p == [] for p in b._slot_pages)

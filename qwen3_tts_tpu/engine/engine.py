@@ -291,16 +291,10 @@ class TTSEngine:
         S = self.cfg.talker.max_seq_len
         text_pad = int(text_ids.shape[0])
         limit = max(S - PREFIX_EXTRA - text_pad - 8, 0)
-        n_ref = min(len(ref_codes_np), limit)
+        padded, n_ref = tk.bucket_ref_frames(limit, ref_codes_np)
         if n_ref < len(ref_codes_np):
             print(f"warning: reference audio truncated to {n_ref} frames "
                   f"(max_seq_len={S})", file=sys.stderr)
-        b = next((bk for bk in (16, 32, 64, 128, 256)
-                  if n_ref <= bk and bk <= limit), None)
-        if b is None:
-            b = max(limit, 1)
-        padded = np.zeros((b, 16), np.int32)
-        padded[:n_ref] = ref_codes_np[:n_ref]
 
         cp_embs = self.params["code_predictor"]["codec_embs"]
         # n_target is baked into the cached state's EOS pacing, so it must

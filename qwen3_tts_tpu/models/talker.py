@@ -206,6 +206,26 @@ def build_prefix_cloned(
     return out, plen + n_ref.astype(jnp.int32)
 
 
+
+def bucket_ref_frames(limit: int, ref_codes_np):
+    """Host-side prep for a cloned prefix: clamp the reference codec
+    frames to ``limit`` rows and zero-pad them to a shape bucket
+    (16/32/64/128/256, largest clamped to the limit) so the cloned
+    prefill compiles once per bucket instead of once per prompt length.
+    Shared by the engine prompt path (engine/engine._prefill_cloned) and
+    the batched serving tier so both produce bit-identical prefills.
+    Returns (padded (b, 16) np.int32, n_ref kept)."""
+    import numpy as _np
+
+    n_ref = min(len(ref_codes_np), max(int(limit), 0))
+    b = next((bk for bk in (16, 32, 64, 128, 256)
+              if n_ref <= bk and bk <= limit), None)
+    if b is None:
+        b = max(int(limit), 1)
+    padded = _np.zeros((b, 16), _np.int32)
+    padded[:n_ref] = _np.asarray(ref_codes_np, _np.int32)[:n_ref, :16]
+    return padded, n_ref
+
 def prefill(
     params: Params,
     prefix: jax.Array,      # (B, P_pad, H)

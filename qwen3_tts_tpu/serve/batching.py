@@ -41,11 +41,17 @@ from qwen3_tts_tpu.ops import sampling as smp
 
 class _Request:
     def __init__(self, text_ids, n_text, seed, max_tokens=None,
-                 on_chunk=None):
+                 on_chunk=None, ref_codes=None, n_target=None):
         self.text_ids = text_ids
         self.n_text = n_text
         self.seed = seed
         self.max_tokens = max_tokens
+        # voice cloning: pre-encoded reference codec frames (R, 16) and
+        # the TARGET text's token count (EOS pacing covers the target
+        # only; text_ids hold ref_text ++ target_text — the engine
+        # prompt_dir contract, engine/engine._prefill_cloned)
+        self.ref_codes = ref_codes
+        self.n_target = n_target
         # set by the submitter (e.g. a daemon timeout / dead connection)
         # to withdraw the request: _admit skips it while queued, and an
         # ADMITTED slot is freed at the next chunk boundary (its future
@@ -333,8 +339,25 @@ class ContinuousBatcher:
                     plen[None], n_text[None], key, pcfg, budget=budget)
             return jax.jit(fn)
 
+        def _prefill_cloned_fn(pcfg):
+            # voice-cloning admission: cloned dual-stream prefix (ref
+            # frames as continuation rows), EOS pacing on the TARGET text
+            # only — the same contract as engine._mk_state_cloned
+            def fn(tp, cp_embs, ids, n_text, n_target, ref_codes, n_ref,
+                   key, budget):
+                prefix, plen = tk.build_prefix_cloned(
+                    tp, cp_embs, ids, n_text, ref_codes, n_ref)
+                return gen.init_state(
+                    tp, prefix[None].astype(tp["codec_embedding"].dtype),
+                    plen[None], n_target[None], key, pcfg, budget=budget)
+            return jax.jit(fn)
+
         self._prefill_one = _prefill_fn(cfg)
-        self._prefill_cache: Dict[int, object] = {}
+        self._prefill_cloned_one = _prefill_cloned_fn(cfg)
+        self._make_prefill_plain = _prefill_fn
+        self._make_prefill_cloned = _prefill_cloned_fn
+        # paged prefill programs keyed by (page-aligned window, cloned?)
+        self._prefill_cache: Dict[tuple, object] = {}
         self._backlog: List[_Request] = []
         self._insert = jax.jit(_insert_slot)
         # stop(): force abandoned mid-decode slots to done so a restarted
@@ -374,7 +397,8 @@ class ContinuousBatcher:
 
     def submit(self, text_ids: np.ndarray, n_text: int,
                seed: int = 0, max_tokens: Optional[int] = None,
-               on_chunk=None) -> Future:
+               on_chunk=None, ref_codes=None,
+               n_target: Optional[int] = None) -> Future:
         """Queue a request; the Future resolves to
         (codes np[T,16], audio int16 np — converted on device; pass it
         straight to wav writers/``voc.to_int16``). ``max_tokens``: per-request
@@ -388,9 +412,21 @@ class ContinuousBatcher:
         sample-identical to the non-streaming result (the same contract
         as the engine's streaming mode). Batched streaming is a
         capability the reference does not have at all (its streaming is
-        single-request, client-internal; tts_client.py:189-197)."""
+        single-request, client-internal; tts_client.py:189-197).
+
+        ``ref_codes`` + ``n_target``: voice cloning — ``text_ids`` must
+        hold ref_text ++ target_text, ``ref_codes`` the (R, 16) reference
+        codec frames (a prompt_dir's ref_codec_tokens.npy), ``n_target``
+        the target text's token count (EOS pacing). The admission prefill
+        builds the cloned dual-stream prefix (talker.build_prefix_cloned)
+        exactly like the engine's prompt_dir path."""
+        if (ref_codes is None) != (n_target is None):
+            raise ValueError("ref_codes and n_target go together")
         req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
-                       seed, max_tokens, on_chunk)
+                       seed, max_tokens, on_chunk,
+                       ref_codes=(None if ref_codes is None
+                                  else np.asarray(ref_codes, np.int32)),
+                       n_target=n_target)
         req.future.request = req  # expose timing to callers (bench/metrics)
         # the lock closes the submit-vs-stop race: either the request
         # lands in the queue BEFORE stop() drains it (and is failed
@@ -518,6 +554,21 @@ class ContinuousBatcher:
 
     # -- scheduler ----------------------------------------------------------
 
+    def _cloned_inputs(self, req: "_Request", cap: int):
+        """Bucket a cloning request's reference frames against a prefix
+        budget of ``cap`` KV rows (dense: max_seq_len; paged: the slot's
+        page capacity), leaving 8 rows of decode headroom — the same
+        clamp as engine._prefill_cloned. Returns (padded (b,16), n_ref)."""
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+
+        text_pad = int(req.text_ids.shape[0])
+        limit = max(cap - PREFIX_EXTRA - text_pad - 8, 0)
+        padded, n_ref = tk.bucket_ref_frames(limit, req.ref_codes)
+        if n_ref < len(req.ref_codes):
+            print(f"warning: reference audio truncated to {n_ref} frames "
+                  f"(prefix budget {cap})", file=sys.stderr)
+        return padded, n_ref
+
     def _req_budget(self, req: "_Request") -> int:
         mt = req.max_tokens
         return (min(int(mt), self.cfg.max_tokens) if mt is not None
@@ -615,18 +666,29 @@ class ContinuousBatcher:
                             exhausted = True
                             break
                     else:
+                        S = self.cfg.talker.max_seq_len
                         p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
-                        if p_pad > self.cfg.talker.max_seq_len:
+                        if p_pad > S:
                             raise ValueError(
                                 f"request prefix ({p_pad} rows incl. "
                                 f"{PREFIX_EXTRA} special) exceeds the dense "
-                                f"KV allocation (max_seq_len="
-                                f"{self.cfg.talker.max_seq_len}); shorten "
+                                f"KV allocation (max_seq_len={S}); shorten "
                                 f"the text or use the paged batcher")
-                        sub = self._prefill_one(
-                            self.params["talker"], req.text_ids,
-                            req.n_text, smp.host_prng_key(req.seed),
-                            jnp.int32(self._req_budget(req)))
+                        if req.ref_codes is not None:
+                            ref_pad, n_ref = self._cloned_inputs(req, S)
+                            sub = self._prefill_cloned_one(
+                                self.params["talker"],
+                                self.params["code_predictor"]["codec_embs"],
+                                req.text_ids, req.n_text,
+                                jnp.int32(req.n_target),
+                                jnp.asarray(ref_pad), jnp.int32(n_ref),
+                                smp.host_prng_key(req.seed),
+                                jnp.int32(self._req_budget(req)))
+                        else:
+                            sub = self._prefill_one(
+                                self.params["talker"], req.text_ids,
+                                req.n_text, smp.host_prng_key(req.seed),
+                                jnp.int32(self._req_budget(req)))
                         self._state = self._insert(self._state,
                                                    jnp.int32(slot), sub)
                 except Exception as e:
@@ -654,7 +716,12 @@ class ContinuousBatcher:
 
         psz = self.page_size
         free = self._free_by_group[self._slot_group(slot)]
-        p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
+        ref_pad = n_ref = None
+        if req.ref_codes is not None:
+            ref_pad, n_ref = self._cloned_inputs(
+                req, self.max_pages_per_slot * psz)
+        p_pad = (int(req.text_ids.shape[0]) + PREFIX_EXTRA
+                 + (ref_pad.shape[0] if ref_pad is not None else 0))
         if p_pad > self.max_pages_per_slot * psz:
             raise ValueError(
                 f"request prefix ({p_pad} rows incl. {PREFIX_EXTRA} "
@@ -667,23 +734,26 @@ class ContinuousBatcher:
             return False
 
         s_pre = -(-p_pad // psz) * psz   # dense prefill window, page-aligned
-        fn = self._prefill_cache.get(s_pre)
+        cloned = ref_pad is not None
+        fn = self._prefill_cache.get((s_pre, cloned))
         if fn is None:
             pcfg = dataclasses.replace(
                 self.cfg, talker=dataclasses.replace(
                     self.cfg.talker, max_seq_len=s_pre))
-
-            def make(pcfg):
-                def f(tp, ids, n_text, key, budget):
-                    prefix, plen = tk.build_prefix(tp, ids, n_text)
-                    return gen.init_state(
-                        tp, prefix[None].astype(tp["codec_embedding"].dtype),
-                        plen[None], n_text[None], key, pcfg, budget=budget)
-                return jax.jit(f)
-
-            fn = self._prefill_cache[s_pre] = make(pcfg)
-        sub = fn(self.params["talker"], req.text_ids, req.n_text,
-                 smp.host_prng_key(req.seed), jnp.int32(self._req_budget(req)))
+            fn = self._prefill_cache[(s_pre, cloned)] = (
+                self._make_prefill_cloned(pcfg) if cloned
+                else self._make_prefill_plain(pcfg))
+        if cloned:
+            sub = fn(self.params["talker"],
+                     self.params["code_predictor"]["codec_embs"],
+                     req.text_ids, req.n_text, jnp.int32(req.n_target),
+                     jnp.asarray(ref_pad), jnp.int32(n_ref),
+                     smp.host_prng_key(req.seed),
+                     jnp.int32(self._req_budget(req)))
+        else:
+            sub = fn(self.params["talker"], req.text_ids, req.n_text,
+                     smp.host_prng_key(req.seed),
+                     jnp.int32(self._req_budget(req)))
 
         pages = [free.pop() for _ in range(need)]
         table_row = np.zeros((self.max_pages_per_slot,), np.int32)

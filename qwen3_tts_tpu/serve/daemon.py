@@ -11,8 +11,9 @@ talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
                             "max_tokens"?, "prompt_dir"?, "stream"?,
                             "long"?}]
-  (prompt_dir — voice cloning — is engine-mode only; batched mode
-  returns an error for it rather than silently ignoring it.
+  (prompt_dir — voice cloning — is served by BOTH tiers: engine mode
+  through the prompt-cached prefill, batched mode through the cloned
+  admission prefill (serve/batching.submit ref_codes/n_target).
   max_tokens: per-request generation cap, clamped to the engine's
   compiled maximum. long: paragraph mode — the text splits into
   sentences; engine mode batches them through synthesize_long, batched
@@ -284,6 +285,22 @@ class TTSDaemon:
                 # would double-count in handle()'s catch-all
         return None
 
+    def _encode_with_prompt(self, text: str, prompt_dir):
+        """Tokenize a (possibly voice-cloned) batched request the same
+        way the engine's prompt_dir path does (engine.synthesize):
+        returns (ids, n_text, ref_codes | None, n_target | None) for
+        ContinuousBatcher.submit. Raises ValueError on a bad prompt_dir
+        (client-fixable)."""
+        if not prompt_dir:
+            ids, n_text = self.engine._encode_text(text)
+            return ids, n_text, None, None
+        ref_codes, ref_text = self.engine._load_prompt(prompt_dir)
+        full = (ref_text + " " + text).strip() if ref_text else text
+        ids, n_text = self.engine._encode_text(full)
+        n_target = min(len(self.engine.tokenizer.encode(
+            text, add_special_tokens=False)), int(n_text))
+        return ids, n_text, ref_codes, n_target
+
     def _handle_batched(self, msg, text: str, mt=None,
                         send_frame=None) -> Optional[bytes]:
         """Batched-mode request. With ``send_frame`` (client sent
@@ -309,9 +326,6 @@ class TTSDaemon:
 
         if lang not in SUPPORTED_LANGUAGES:
             return _reject(f"unsupported language {lang!r}")
-        if msg.get("prompt_dir"):
-            return _reject("prompt_dir (voice cloning) is not supported "
-                           "in batched mode; use an engine-mode daemon")
         if mt is not None and mt < 1:
             return _reject(f"max_tokens must be >= 1, got {mt}")
         if msg.get("long"):
@@ -333,12 +347,17 @@ class TTSDaemon:
                     first_audio[0] = _time.perf_counter() - t0
                 seg_q.put(seg)
 
-        ids, n_text = self.engine._encode_text(text)
+        try:
+            ids, n_text, ref_codes, n_target = self._encode_with_prompt(
+                text, msg.get("prompt_dir"))
+        except ValueError as e:
+            return _reject(str(e))
         # max_tokens rides into the slot's per-request budget: the slot
         # stops decoding (and frees) at the cap — no decode-then-trim
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
                                   seed=int(msg.get("seed", 0)),
-                                  max_tokens=mt, on_chunk=on_chunk)
+                                  max_tokens=mt, on_chunk=on_chunk,
+                                  ref_codes=ref_codes, n_target=n_target)
 
         def _drain(block: bool) -> int:
             sent = 0
@@ -436,9 +455,22 @@ class TTSDaemon:
             budget) or [text]
         futs = []
         for i, p in enumerate(pieces):
-            ids, n = self.engine._encode_text(p)
+            # prompt_dir (voice cloning) applies to EVERY piece — the
+            # engine's synthesize_long contract
+            try:
+                ids, n, ref_codes, n_target = self._encode_with_prompt(
+                    p, msg.get("prompt_dir"))
+            except ValueError as e:
+                self.stats.record_error()
+                hdr = {"error": str(e)}
+                if send_frame is not None:
+                    send_frame(encode_response({"done": True, **hdr}, None))
+                    return None
+                return encode_response(hdr, None)
             futs.append(self.batcher.submit(np.asarray(ids), int(n),
-                                            seed=seed + i, max_tokens=mt))
+                                            seed=seed + i, max_tokens=mt,
+                                            ref_codes=ref_codes,
+                                            n_target=n_target))
         parts_codes, parts_audio = [], []
         first_audio = None
         idx = 0

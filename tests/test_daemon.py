@@ -152,11 +152,20 @@ def test_daemon_batched_concurrent(engine, tmp_path):
         t.join(timeout=10)
 
 
-def test_daemon_batched_rejects_prompt_dir(engine, tmp_path):
-    """Batched mode must return an explicit error for the voice-cloning
-    prompt_dir (engine-mode only) rather than silently serving the
-    default voice."""
+def test_daemon_batched_prompt_dir(engine, tmp_path):
+    """Batched mode serves voice cloning: a prompt_dir request decodes
+    with the cloned prefix (codes differ from the plain request, same
+    seed), and a BAD prompt_dir returns an explicit client error."""
+    import numpy as _np
     from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    d = tmp_path / "voice"
+    d.mkdir()
+    V = engine.cfg.code_predictor.group_vocab_size
+    rng = _np.random.default_rng(5)
+    _np.save(d / "ref_codec_tokens.npy",
+             rng.integers(0, V, (6, 16)).astype(_np.int64))
+    (d / "ref_text.txt").write_text("ref transcript")
 
     sock = str(tmp_path / "tts_b2.sock")
     batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
@@ -169,6 +178,15 @@ def test_daemon_batched_rejects_prompt_dir(engine, tmp_path):
         time.sleep(0.05)
     try:
         import pytest as _pytest
+        hdr_c, audio_c = DaemonClient(sock).synthesize(
+            "hi", language="english", prompt_dir=str(d))
+        hdr_p, audio_p = DaemonClient(sock).synthesize(
+            "hi", language="english")
+        assert hdr_c["n_tokens"] > 0
+        assert len(audio_c) == hdr_c["n_tokens"] * 1920
+        # the prompt conditions the decode
+        assert (hdr_c["n_tokens"] != hdr_p["n_tokens"]
+                or not _np.array_equal(audio_c, audio_p))
         with _pytest.raises(RuntimeError, match="prompt_dir"):
             DaemonClient(sock).synthesize("hi", language="english",
                                           prompt_dir="/nonexistent")

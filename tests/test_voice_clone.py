@@ -123,3 +123,52 @@ def test_streaming_with_prompt_dir(setup, tmp_path):
                        prompt_dir=str(d), streaming=True)
     np.testing.assert_array_equal(a.codes, b.codes)
     assert b.n_tokens > 0
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batched_prompt_matches_engine(setup, tmp_path, paged):
+    """Voice cloning through the BATCHED serving tier: a cloned request
+    submitted to the ContinuousBatcher (dense and paged) must produce
+    EXACTLY the codes of the engine's prompt_dir path with the same seed
+    (shared bucket_ref_frames clamp + identical cloned prefill)."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+    d = tmp_path / f"pb{int(paged)}"
+    d.mkdir()
+    ref = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(9), (7, 16), 0, V, jnp.int32))
+    np.save(d / "ref_codec_tokens.npy", ref.astype(np.int64))
+    (d / "ref_text.txt").write_text("ref words here")
+
+    res = eng.synthesize("clone batched", language="english", seed=4,
+                         prompt_dir=str(d))
+    assert res.n_tokens > 0
+
+    # the daemon's _encode_with_prompt construction, inlined
+    ref_codes, ref_text = eng._load_prompt(str(d))
+    full = (ref_text + " " + "clone batched").strip()
+    ids, n_text = eng._encode_text(full)
+    n_target = min(len(eng.tokenizer.encode(
+        "clone batched", add_special_tokens=False)), int(n_text))
+
+    # quantize_cp=False: the engine reference runs the float32 CP, so the
+    # batcher must too for bit parity
+    b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32, paged=paged, page_size=16,
+                          quantize_cp=False)
+    # occupy the other slot to prove cloning coexists with plain requests
+    ids_o, n_o = eng._encode_text("plain neighbor")
+    f_o = b.submit(np.asarray(ids_o), int(n_o), seed=1)
+    f = b.submit(np.asarray(ids), int(n_text), seed=4,
+                 ref_codes=ref_codes, n_target=n_target)
+    for _ in range(400):
+        if f.done() and f_o.done():
+            break
+        b.step()
+    codes, audio = f.result(timeout=1)
+    np.testing.assert_array_equal(codes, res.codes)
+    assert len(audio) == len(codes) * 1920
+    f_o.result(timeout=1)

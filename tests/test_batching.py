@@ -670,7 +670,8 @@ def test_cancel_admitted_paged_returns_pages():
 
 def test_scheduler_chaos_invariants():
     """Property test: random interleavings of submissions, cancellations
-    (queued AND admitted), streaming requests, and per-request budgets
+    (queued AND admitted), streaming requests, voice-cloned requests,
+    and per-request budgets
     must leave the scheduler with every future resolved, every slot free,
     and (in paged mode) every page back in the pool."""
     rng = np.random.default_rng(1234)
@@ -688,6 +689,9 @@ def test_scheduler_chaos_invariants():
                 kw["max_tokens"] = int(rng.integers(1, 6))
             if rng.random() < 0.3:
                 kw["on_chunk"] = [].append
+            if rng.random() < 0.25:   # voice-cloned admission path
+                kw["ref_codes"] = rng.integers(0, 32, (5, 16))
+                kw["n_target"] = max(int(n) - 2, 1)
             futs.append(b.submit(ids, n, seed=i, **kw))
             # random scheduling progress and cancellations
             for _ in range(int(rng.integers(0, 3))):

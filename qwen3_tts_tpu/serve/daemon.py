@@ -265,16 +265,21 @@ class TTSDaemon:
                     max_tokens=mt,
                     on_chunk=on_chunk,
                 )
-            send_frame(encode_response({
-                "done": True,
-                "n_samples": int(len(res.audio_int16)),
-                "n_tokens": int(res.n_tokens),
-                "rtf": float(res.rtf),
-                "total_seconds": float(res.total_seconds),
-                "first_audio_seconds": res.first_audio_seconds,
-            }, None))
             self.stats.record(res.n_tokens, res.total_seconds, res.rtf,
                               res.first_audio_seconds)
+            try:
+                send_frame(encode_response({
+                    "done": True,
+                    "n_samples": int(len(res.audio_int16)),
+                    "n_tokens": int(res.n_tokens),
+                    "rtf": float(res.rtf),
+                    "total_seconds": float(res.total_seconds),
+                    "first_audio_seconds": res.first_audio_seconds,
+                }, None))
+            except OSError:
+                pass   # client died after the last audio frame: the
+                # synthesis succeeded (recorded above) — counting the
+                # broken pipe as a server error would distort stats
         except Exception as e:
             self.stats.record_error()
             try:
@@ -424,9 +429,14 @@ class TTSDaemon:
         }
         self.stats.record(len(codes), total, header["rtf"], first_audio[0])
         if send_frame is not None:
-            send_frame(encode_response(
-                {"done": True, "first_audio_seconds": first_audio[0],
-                 **header}, None))
+            try:
+                send_frame(encode_response(
+                    {"done": True, "first_audio_seconds": first_audio[0],
+                     **header}, None))
+            except OSError:
+                pass   # client died after the last audio frame: the
+                # request itself succeeded (recorded above) — letting the
+                # broken-pipe escape would mis-count it as a server error
             return None
         return encode_response(header, audio_i16)
 
@@ -514,9 +524,13 @@ class TTSDaemon:
         }
         self.stats.record(n_tokens, total, header["rtf"], first_audio)
         if send_frame is not None:
-            send_frame(encode_response(
-                {"done": True, "first_audio_seconds": first_audio,
-                 **header}, None))
+            try:
+                send_frame(encode_response(
+                    {"done": True, "first_audio_seconds": first_audio,
+                     **header}, None))
+            except OSError:
+                pass   # client died after the last audio frame: the
+                # request succeeded — don't mis-count a broken pipe
             return None
         return encode_response(header, audio_i16)
 

@@ -460,3 +460,42 @@ def test_daemon_main_batched_warmup_and_sigterm(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_batched_stream_dead_client_cancels(engine, tmp_path):
+    """A streaming send failure (dead client) must mark the in-flight
+    request cancelled so the scheduler evicts it instead of decoding the
+    rest of the utterance for nobody (the reference's client-disconnect
+    detection, llamacpp_talker_server.py:264-268, as batched eviction)."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=2, dtype=jnp.float32)
+    batcher.start()
+    daemon = TTSDaemon(engine, str(tmp_path / "unused.sock"),
+                       batcher=batcher)
+    sent = [0]
+
+    def dying_send(frame: bytes) -> None:
+        sent[0] += 1
+        if sent[0] > 1:   # first frame OK, then the client is gone
+            raise OSError("broken pipe")
+
+    try:
+        out = daemon._handle_batched(
+            {"text": "stream to a dead client", "stream": True, "seed": 2},
+            "stream to a dead client", None, dying_send)
+        assert out is None   # stream mode always returns None
+        # the handler must have withdrawn the request on the send failure
+        # (either it was evicted mid-decode, or it finished first — both
+        # leave no slot occupied and the scheduler healthy)
+        deadline = time.time() + 30
+        while any(r is not None for r in batcher._slot_req):
+            assert time.time() < deadline, "dead client's slot never freed"
+            time.sleep(0.05)
+        # scheduler still serves
+        ids = np.zeros(8, np.int32); ids[:2] = [104, 105]
+        codes, audio = batcher.submit(ids, 2, seed=3).result(timeout=120)
+        assert len(audio) == len(codes) * 1920
+    finally:
+        batcher.stop()

@@ -52,6 +52,12 @@ class _Request:
         # prompt_dir contract, engine/engine._prefill_cloned)
         self.ref_codes = ref_codes
         self.n_target = n_target
+        # set at admission: (padded ref bucket, n_ref kept) — computed
+        # once per request (a backlogged paged request retries admission
+        # every step; re-bucketing would also re-print the truncation
+        # warning each time), and the kept count feeds the host pos
+        # mirror (prefix_len includes the ref rows)
+        self.cloned_prep = None
         # set by the submitter (e.g. a daemon timeout / dead connection)
         # to withdraw the request: _admit skips it while queued, and an
         # ADMITTED slot is freed at the next chunk boundary (its future
@@ -561,13 +567,16 @@ class ContinuousBatcher:
         clamp as engine._prefill_cloned. Returns (padded (b,16), n_ref)."""
         from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
 
+        if req.cloned_prep is not None:
+            return req.cloned_prep
         text_pad = int(req.text_ids.shape[0])
         limit = max(cap - PREFIX_EXTRA - text_pad - 8, 0)
         padded, n_ref = tk.bucket_ref_frames(limit, req.ref_codes)
         if n_ref < len(req.ref_codes):
             print(f"warning: reference audio truncated to {n_ref} frames "
                   f"(prefix budget {cap})", file=sys.stderr)
-        return padded, n_ref
+        req.cloned_prep = (padded, n_ref)
+        return req.cloned_prep
 
     def _req_budget(self, req: "_Request") -> int:
         mt = req.max_tokens
@@ -698,7 +707,13 @@ class ContinuousBatcher:
                 self._slot_req[slot] = req
                 req.t_admit = time.perf_counter()
                 done[slot] = False
-                pos[slot] = int(req.n_text) + PREFIX_EXTRA
+                # cloned prefixes are longer: init_state sets pos to
+                # prefix_len = n_text + PREFIX_EXTRA + n_ref (review
+                # finding: omitting n_ref made the paged top-up
+                # under-provision pages at pipeline_depth=2 and silently
+                # truncate cloned requests at their page capacity)
+                n_ref = req.cloned_prep[1] if req.cloned_prep else 0
+                pos[slot] = int(req.n_text) + PREFIX_EXTRA + n_ref
                 admitted.append(slot)
                 break
         return admitted

@@ -463,24 +463,42 @@ class TTSDaemon:
         pieces = split_for_budget(
             text, lambda s: len(tok.encode(s, add_special_tokens=False)),
             budget) or [text]
-        futs = []
-        for i, p in enumerate(pieces):
-            # prompt_dir (voice cloning) applies to EVERY piece — the
-            # engine's synthesize_long contract
+        # prompt_dir (voice cloning) applies to EVERY piece — the
+        # engine's synthesize_long contract. Load + validate ONCE, before
+        # any piece submits: a per-piece load would re-read the npy 20x
+        # for a 20-sentence paragraph, and a mid-loop failure would leave
+        # earlier pieces decoding for nobody (review findings)
+        prompt_dir = msg.get("prompt_dir")
+        ref_codes = ref_text = None
+        if prompt_dir:
             try:
-                ids, n, ref_codes, n_target = self._encode_with_prompt(
-                    p, msg.get("prompt_dir"))
+                ref_codes, ref_text = self.engine._load_prompt(prompt_dir)
             except ValueError as e:
                 self.stats.record_error()
                 hdr = {"error": str(e)}
                 if send_frame is not None:
-                    send_frame(encode_response({"done": True, **hdr}, None))
+                    try:
+                        send_frame(encode_response({"done": True, **hdr},
+                                                   None))
+                    except OSError:
+                        pass   # dead client: already counted
                     return None
                 return encode_response(hdr, None)
-            futs.append(self.batcher.submit(np.asarray(ids), int(n),
-                                            seed=seed + i, max_tokens=mt,
-                                            ref_codes=ref_codes,
-                                            n_target=n_target))
+        futs = []
+        for i, p in enumerate(pieces):
+            if ref_codes is not None:
+                full = (ref_text + " " + p).strip() if ref_text else p
+                ids, n = self.engine._encode_text(full)
+                n_target = min(len(self.engine.tokenizer.encode(
+                    p, add_special_tokens=False)), int(n))
+                futs.append(self.batcher.submit(
+                    np.asarray(ids), int(n), seed=seed + i, max_tokens=mt,
+                    ref_codes=ref_codes, n_target=n_target))
+            else:
+                ids, n = self.engine._encode_text(p)
+                futs.append(self.batcher.submit(np.asarray(ids), int(n),
+                                                seed=seed + i,
+                                                max_tokens=mt))
         parts_codes, parts_audio = [], []
         first_audio = None
         idx = 0

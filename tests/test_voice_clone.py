@@ -172,3 +172,41 @@ def test_batched_prompt_matches_engine(setup, tmp_path, paged):
     np.testing.assert_array_equal(codes, res.codes)
     assert len(audio) == len(codes) * 1920
     f_o.result(timeout=1)
+
+
+def test_cloned_paged_depth2_no_truncation(setup):
+    """Regression (review finding): the admission pos mirror must include
+    the cloned prefix's reference rows — without them the paged top-up
+    under-provisions pages at pipeline_depth=2 and the slot silently
+    freezes at its page capacity. A cloned request with n_ref >=
+    decode_chunk must produce identical codes at depth 1 and depth 2."""
+    import dataclasses
+
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg = tiny_tts_config(max_tokens=24)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    V = cfg.code_predictor.group_vocab_size
+    ref = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(11), (16, 16), 0, V, jnp.int32))
+    ids = np.zeros(8, np.int32)
+    ids[:6] = [ord(c) % 1000 for c in "клонир"]
+
+    out = {}
+    for depth in (1, 2):
+        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=8,
+                              dtype=jnp.float32, paged=True, page_size=8,
+                              pipeline_depth=depth, quantize_cp=False)
+        # keep the pipeline busy so depth 2 actually runs speculatively
+        f_bg = b.submit(np.arange(8, dtype=np.int32), 5, seed=1)
+        f = b.submit(ids, 6, seed=12, ref_codes=ref, n_target=6)
+        for _ in range(400):
+            if f.done() and f_bg.done():
+                break
+            b.step()
+        out[depth] = f.result(timeout=1)[0]
+        f_bg.result(timeout=1)
+    np.testing.assert_array_equal(out[1], out[2])
+    assert len(out[1]) > 0

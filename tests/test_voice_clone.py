@@ -193,14 +193,25 @@ def test_cloned_paged_depth2_no_truncation(setup):
         jax.random.PRNGKey(11), (16, 16), 0, V, jnp.int32))
     ids = np.zeros(8, np.int32)
     ids[:6] = [ord(c) % 1000 for c in "клонир"]
+    # geometry chosen so the broken mirror actually starves pages: with
+    # text_pad 8 + PREFIX_EXTRA 9 + ref bucket 16 = p_pad 33 and psz 8,
+    # admission provisions ceil((33+12+2)/8)=6 pages = 48 rows; real pos
+    # after prefill is 6+9+16=31, so two skipped-top-up chunks of 12 hit
+    # the 48-row capacity (31+2*12 > 47) while the stale mirror (15)
+    # shows 33 rows of headroom >= the 2*12+2 threshold
 
     out = {}
     for depth in (1, 2):
-        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=8,
+        b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=12,
                               dtype=jnp.float32, paged=True, page_size=8,
                               pipeline_depth=depth, quantize_cp=False)
-        # keep the pipeline busy so depth 2 actually runs speculatively
+        # warm the pipeline FIRST so the cloned request admits at a step
+        # whose status mirror came from a harvest stash (admission at the
+        # very first step falls back to a fresh device fetch, which hides
+        # the stale-mirror starvation)
         f_bg = b.submit(np.arange(8, dtype=np.int32), 5, seed=1)
+        for _ in range(3):
+            b.step()
         f = b.submit(ids, 6, seed=12, ref_codes=ref, n_target=6)
         for _ in range(400):
             if f.done() and f_bg.done():

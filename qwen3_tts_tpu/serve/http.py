@@ -173,10 +173,6 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(voice, str):
                 return self._openai_error(400, "voice must be a string",
                                           "voice")
-            if self.daemon_ref.batcher is not None:
-                return self._openai_error(
-                    400, "voice cloning (prompt_dir) is engine-mode only; "
-                    "the batched daemon serves the default voice", "voice")
             if not os.path.isdir(voice) or not os.path.exists(
                     os.path.join(voice, "ref_codec_tokens.npy")):
                 return self._openai_error(

@@ -250,10 +250,11 @@ def test_openai_bad_voice_content_is_400(gateway, tmp_path):
     c.close()
 
 
-def test_openai_speech_through_batched_daemon(gateway):
+def test_openai_speech_through_batched_daemon(gateway, tmp_path):
     """The OpenAI surface works unchanged in front of a batched daemon:
-    concurrent pcm requests share the decode batch; 'voice' is rejected
-    up front (batched mode serves the default voice only)."""
+    concurrent pcm requests share the decode batch; a valid 'voice'
+    (prompt_dir) is SERVED through the batched cloned admission, and an
+    invalid one is still a 400 param=voice."""
     import threading
     from qwen3_tts_tpu.serve.batching import ContinuousBatcher
 
@@ -286,6 +287,23 @@ def test_openai_speech_through_batched_daemon(gateway):
         assert len(results) == 3
         for i, (status, pcm) in results.items():
             assert status == 200 and len(pcm) % 1920 == 0 and len(pcm) > 0
+
+        # a VALID voice dir serves through the batched cloned admission
+        d = tmp_path / "http_voice"
+        d.mkdir()
+        V = engine.cfg.code_predictor.group_vocab_size
+        np.save(d / "ref_codec_tokens.npy",
+                np.random.default_rng(3).integers(0, V, (6, 16)).astype(
+                    np.int64))
+        (d / "ref_text.txt").write_text("ref transcript")
+        c = http.client.HTTPConnection(host, port, timeout=300)
+        c.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "cloned over http", "language": "english", "seed": 9,
+             "voice": str(d), "response_format": "pcm"}).encode())
+        r = c.getresponse()
+        pcm = np.frombuffer(r.read(), np.int16)
+        assert r.status == 200 and len(pcm) > 0 and len(pcm) % 1920 == 0
+        c.close()
 
         c = http.client.HTTPConnection(host, port, timeout=300)
         c.request("POST", "/v1/audio/speech", body=json.dumps(

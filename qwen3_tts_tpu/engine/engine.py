@@ -139,7 +139,35 @@ class TTSEngine:
         self.params = (dict(params) if params is not None
                        else weights_io.load_params(model_dir, self.cfg,
                                                    dtype, seed))
-        if quantize in ("int8", "int8-cp"):
+        if quantize not in (None, "int8", "int8-cp"):
+            raise ValueError(f"unsupported quantize={quantize!r}")
+        from qwen3_tts_tpu.ops import quant as quant_ops
+
+        # pre-quantized checkpoints (convert_weights.py --quantize) load
+        # as QTensor trees: never re-quantize, just attach the per-layer
+        # lists the decode hot paths index (the artifact stores only the
+        # stacked arrays). Mirrors the reference's shipped-quantized
+        # artifacts (GGUF Q4_K_M talker / GGML Q4_0 CP, README.md:82-90)
+        # and halves the host->device weight bytes vs quantize-at-init.
+        pre_t = quant_ops.is_quantized(self.params.get("talker", {}))
+        pre_c = quant_ops.is_quantized(self.params.get("code_predictor",
+                                                       {}))
+        if pre_t or pre_c:
+            if pre_t:
+                self.params["talker"] = jax.jit(
+                    quant_ops.attach_layer_list)(self.params["talker"])
+            if pre_c:
+                self.params["code_predictor"] = jax.jit(
+                    quant_ops.attach_layer_list)(
+                        self.params["code_predictor"])
+            if not pre_t and quantize == "int8":
+                # CP-only artifact but the caller wants the full int8
+                # engine tier: quantize the (still-bf16) talker at init
+                self.params["talker"] = jax.jit(quant_ops.quantize_talker)(
+                    self.params["talker"])
+                pre_t = True
+            quantize = "int8" if pre_t else "int8-cp"
+        elif quantize in ("int8", "int8-cp"):
             # weight-only int8 (the reference's GGUF Q4_K_M / Q4_0 tier;
             # vocoder stays FP32 — ops/quant.py). "int8-cp" quantizes only
             # the code predictor: its layer stack then fits in VMEM and
@@ -147,7 +175,6 @@ class TTSEngine:
             # (ops/pallas/cp_decode.py, ~1 ms/token vs ~5 ms), while the
             # talker stays bf16 (int8 through XLA dots measured *slower*
             # than bf16 — the converts defeat the bandwidth win).
-            from qwen3_tts_tpu.ops import quant as quant_ops
 
             # jit each quantizer: un-jitted, the per-tensor quantize math
             # plus the 28-layer layers_list slicing issues ~300 small
@@ -160,8 +187,6 @@ class TTSEngine:
             self.params["code_predictor"] = jax.jit(
                 quant_ops.quantize_code_predictor)(
                     self.params["code_predictor"])
-        elif quantize is not None:
-            raise ValueError(f"unsupported quantize={quantize!r}")
         self.quantize = quantize
         self.tokenizer = load_tokenizer(model_dir)
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig, TTSConfig
+from qwen3_tts_tpu.ops.quant import QTensor
 
 Params = Dict[str, Any]
 
@@ -53,7 +54,18 @@ def save_pytree_npz(path: str, tree: Params,
     def rec(prefix, node):
         if isinstance(node, Mapping):
             for k, v in node.items():
+                if k == "layers_list":
+                    # derived view of the stacked layers (ops/quant.
+                    # attach_layer_list) — rebuilt at load, never stored
+                    continue
                 rec(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(node, QTensor):
+            # pre-quantized int8 weights (convert_weights.py --quantize):
+            # two entries per tensor, reassembled by load_pytree_npz. The
+            # reference ships quantized artifacts the same way (GGUF
+            # Q4_K_M talker / GGML Q4_0 CP, README.md:82-90).
+            flat[prefix + "::q8"] = np.asarray(node.q)
+            flat[prefix + "::q8s"] = np.asarray(node.scale)
         else:
             arr = np.asarray(node)
             if arr.dtype == jnp.bfloat16:
@@ -104,23 +116,43 @@ def read_npz_config(path: str) -> Optional[TTSConfig]:
 
 def load_pytree_npz(path: str, dtype=None) -> Params:
     tree: Params = {}
+    q8: Dict[str, np.ndarray] = {}
+    q8s: Dict[str, np.ndarray] = {}
+
+    def put(name, leaf):
+        parts = name.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
     with np.load(path) as data:  # close the handle (multi-GB file)
         for key in data.files:
             if key == _CONFIG_KEY:
                 continue  # read via read_npz_config
             arr = data[key]
             name = key
+            if key.endswith("::q8"):
+                q8[key[: -len("::q8")]] = arr
+                continue
+            if key.endswith("::q8s"):
+                q8s[key[: -len("::q8s")]] = arr
+                continue
             if key.endswith("::bf16"):
                 name = key[: -len("::bf16")]
                 arr = arr.view(jnp.bfloat16)
-            parts = name.split("/")
-            node = tree
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
             if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
-                node[parts[-1]] = jnp.asarray(arr, dtype)
+                put(name, jnp.asarray(arr, dtype))
             else:
-                node[parts[-1]] = jnp.asarray(arr)
+                put(name, jnp.asarray(arr))
+    # reassemble pre-quantized int8 weights; scales stay float32 by
+    # contract (ops/quant.QTensor) regardless of the requested dtype
+    for name, q in q8.items():
+        if name not in q8s:
+            raise ValueError(f"{path}: quantized tensor {name!r} has no "
+                             "::q8s scale entry — truncated checkpoint?")
+        put(name, QTensor(jnp.asarray(q), jnp.asarray(q8s[name],
+                                                      jnp.float32)))
     return tree
 
 
@@ -614,11 +646,15 @@ def load_params(
         params = load_pytree_npz(native)
         if dtype is not None:
             def cast(a):
+                if isinstance(a, QTensor):
+                    return a  # int8 q + float32 scale by contract
                 return (a.astype(dtype)
                         if jnp.issubdtype(a.dtype, jnp.floating) else a)
             for comp in ("talker", "code_predictor"):
                 if comp in params:
-                    params[comp] = jax.tree.map(cast, params[comp])
+                    params[comp] = jax.tree.map(
+                        cast, params[comp],
+                        is_leaf=lambda x: isinstance(x, QTensor))
         return params
     params = load_from_hf_checkpoint(model_dir, cfg, dtype)
     st_dir = os.path.join(model_dir, "speech_tokenizer")

@@ -148,31 +148,75 @@ def quantize_layer_stack(layers: dict, fuse: bool = False) -> dict:
     return out
 
 
+def attach_layer_list(component: dict) -> dict:
+    """Attach the per-layer (unstacked) weight list the decode hot paths
+    use: a lax.scan over the stacked pytree materializes an HBM copy of
+    each layer's weights every step before the Pallas matmuls read them
+    (~0.7 ms/token measured); separate arrays avoid the slice entirely.
+    Only the decode paths use these; prefill scans the stack.
+
+    Idempotent; jit it when the weights live behind a tunneled device
+    (un-jitted, the per-layer slicing is ~L x 9 small dispatches)."""
+    if "layers_list" in component:
+        return component
+    out = dict(component)
+    L = component["layers"]["input_ln"].shape[0]
+    out["layers_list"] = [
+        {k: v[l] for k, v in component["layers"].items()} for l in range(L)]
+    return out
+
+
+def is_quantized(component: dict) -> bool:
+    """True if the component's layer stack holds QTensor weights (a
+    pre-quantized checkpoint from convert_weights.py --quantize, or a
+    runtime-quantized param tree)."""
+    return any(isinstance(v, QTensor)
+               for v in component.get("layers", {}).values())
+
+
 def quantize_talker(params: dict) -> dict:
     out = dict(params)
     out["layers"] = quantize_layer_stack(params["layers"], fuse=True)
-    # per-layer (unstacked) weight list for the unrolled decode step: a
-    # lax.scan over the stacked pytree materializes an HBM copy of each
-    # layer's weights every step before the Pallas matmuls read them
-    # (~0.7 ms/token measured); separate arrays avoid the slice entirely.
-    # Only the decode hot path uses these; prefill scans the stack.
-    L = params["layers"]["input_ln"].shape[0]
-    out["layers_list"] = [
-        {k: v[l] for k, v in out["layers"].items()} for l in range(L)]
     out["codec_head"] = quantize_int8(params["codec_head"])
     # text projection / embeddings stay dense: used in prefill only
-    return out
+    return attach_layer_list(out)
 
 
 def quantize_code_predictor(params: dict) -> dict:
     out = dict(params)
     out["layers"] = quantize_layer_stack(params["layers"])
-    # per-layer (unstacked) list for the 2-token prefill: same rationale
-    # as the talker's layers_list — a lax.scan over the stacked pytree
-    # copies each layer's weights to HBM every call, and the CP prefill
-    # runs once per talker token (models/code_predictor.predict_codes)
-    L = params["layers"]["input_ln"].shape[0]
-    out["layers_list"] = [
-        {k: v[l] for k, v in out["layers"].items()} for l in range(L)]
     out["lm_heads"] = quantize_int8(params["lm_heads"])
+    return attach_layer_list(out)
+
+
+def dequantize_talker(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Inverse of quantize_talker: rebuild the standard dense layout
+    (separate q/k/v and gate/up projections) from the fused-int8 one.
+
+    The batched serving tier wants a bf16 talker — int8 is measured
+    SLOWER at serving batch sizes (docs/BENCHMARKS.md) and the fused
+    layout has no mesh sharding specs — so a pre-quantized engine-mode
+    artifact (convert_weights.py --quantize int8) is dequantized on the
+    way into ContinuousBatcher. Values equal what the int8 engine
+    computes with (q * scale), not the original bf16 checkpoint."""
+    layers = dict(params["layers"])
+    qkv = dequantize(layers.pop("qkv_proj"), dtype)      # (L, H, QD+2KVD)
+    gu = dequantize(layers.pop("gateup_proj"), dtype)    # (L, H, 2I)
+    o = layers["o_proj"]
+    QD = o.q.shape[1] if isinstance(o, QTensor) else o.shape[1]
+    KVD = (qkv.shape[-1] - QD) // 2
+    layers["q_proj"] = qkv[..., :QD]
+    layers["k_proj"] = qkv[..., QD:QD + KVD]
+    layers["v_proj"] = qkv[..., QD + KVD:]
+    I = gu.shape[-1] // 2
+    layers["gate_proj"] = gu[..., :I]
+    layers["up_proj"] = gu[..., I:]
+    for name in ("o_proj", "down_proj"):
+        if isinstance(layers[name], QTensor):
+            layers[name] = dequantize(layers[name], dtype)
+    out = dict(params)
+    out.pop("layers_list", None)
+    out["layers"] = layers
+    if isinstance(out.get("codec_head"), QTensor):
+        out["codec_head"] = dequantize(out["codec_head"], dtype)
     return out

@@ -1,6 +1,8 @@
 """Weight-only int8 quantization tests: numerics, pallas/XLA parity,
 end-to-end engine smoke."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,3 +92,204 @@ def test_engine_quantized_smoke():
     assert res.n_tokens >= 0
     if res.n_tokens:
         assert (res.codes < 2048).all()
+
+
+# ---------------------------------------------------------------------------
+# Pre-quantized artifacts (convert_weights.py --quantize; the reference
+# ships GGUF Q4_K_M / GGML Q4_0 artifacts the same way, README.md:82-90)
+# ---------------------------------------------------------------------------
+
+def test_prequantized_npz_roundtrip(tmp_path):
+    """QTensor pytrees survive save_pytree_npz/load_pytree_npz bit-exactly
+    (int8 q, float32 scale); the derived layers_list is never stored."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.models import talker as tk
+
+    cfg = tiny_tts_config().talker
+    tp = quant.quantize_talker(
+        tk.init_talker_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32))
+    path = str(tmp_path / "params.npz")
+    weights_io.save_pytree_npz(path, {"talker": tp})
+
+    with np.load(path) as data:
+        assert not any("layers_list" in k for k in data.files)
+        assert any(k.endswith("::q8") for k in data.files)
+
+    got = weights_io.load_pytree_npz(path)["talker"]
+    assert "layers_list" not in got
+    for name in ("qkv_proj", "gateup_proj", "o_proj", "down_proj"):
+        a, b = tp["layers"][name], got["layers"][name]
+        assert isinstance(b, quant.QTensor)
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        assert b.scale.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a.scale),
+                                      np.asarray(b.scale))
+    assert isinstance(got["codec_head"], quant.QTensor)
+
+    # the load_params dtype cast must not touch QTensor leaves (scales
+    # stay float32 by contract) while still casting dense floats
+    loaded = weights_io.load_params(str(tmp_path), tiny_tts_config(),
+                                    dtype=jnp.bfloat16)
+    qkv = loaded["talker"]["layers"]["qkv_proj"]
+    assert isinstance(qkv, quant.QTensor) and qkv.scale.dtype == jnp.float32
+    assert loaded["talker"]["codec_embedding"].dtype == jnp.bfloat16
+
+
+def test_engine_prequantized_artifact_matches_runtime_quant(tmp_path):
+    """An engine loading a pre-quantized params.npz (auto-detected, no
+    quantize= argument) produces the SAME codes as one that quantizes the
+    same base weights at init — the artifact is just the init-time
+    quantization moved offline."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    cfg = tiny_tts_config(max_tokens=8)
+    base = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+
+    eng_rt = TTSEngine(cfg, model_dir=None, dtype=jnp.float32,
+                       params=dict(base), quantize="int8")
+    assert eng_rt.quantize == "int8"
+
+    art = dict(base)
+    art["talker"] = jax.jit(quant.quantize_talker)(base["talker"])
+    art["code_predictor"] = jax.jit(quant.quantize_code_predictor)(
+        base["code_predictor"])
+    d = tmp_path / "prequant_ckpt"
+    d.mkdir()
+    weights_io.save_pytree_npz(str(d / "params.npz"), art, config=cfg)
+
+    eng_pre = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32)
+    assert eng_pre.cfg == cfg
+    assert eng_pre.quantize == "int8"  # auto-detected
+    assert isinstance(eng_pre.params["talker"]["layers"]["qkv_proj"],
+                      quant.QTensor)
+    assert "layers_list" in eng_pre.params["talker"]
+
+    a = eng_rt.synthesize("prequantized artifact", language="english",
+                          seed=3)
+    b = eng_pre.synthesize("prequantized artifact", language="english",
+                           seed=3)
+    assert a.n_tokens == b.n_tokens > 0
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.audio_int16, b.audio_int16)
+
+
+def test_engine_prequantized_cp_only_artifact(tmp_path):
+    """An int8-cp artifact (bf16 talker, QTensor CP) auto-detects as the
+    int8-cp tier; asking for quantize='int8' on top quantizes the talker
+    at init."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    cfg = tiny_tts_config(max_tokens=6)
+    base = weights_io.init_random_params(cfg, seed=1, dtype=jnp.float32)
+    art = dict(base)
+    art["code_predictor"] = jax.jit(quant.quantize_code_predictor)(
+        base["code_predictor"])
+    d = tmp_path / "cp_ckpt"
+    d.mkdir()
+    weights_io.save_pytree_npz(str(d / "params.npz"), art, config=cfg)
+
+    eng = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32)
+    assert eng.quantize == "int8-cp"
+    assert not quant.is_quantized(eng.params["talker"])
+    res = eng.synthesize("cp artifact", language="english", seed=0)
+    assert res.n_tokens > 0
+
+    eng8 = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32,
+                     quantize="int8")
+    assert eng8.quantize == "int8"
+    assert quant.is_quantized(eng8.params["talker"])
+
+
+def test_dequantize_talker_rebuilds_dense_layout():
+    """dequantize_talker yields the standard unfused dense layout whose
+    decode matches the int8 decode (same effective weights)."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.models import talker as tk
+    from qwen3_tts_tpu.models import transformer as tfm
+
+    cfg = tiny_tts_config().talker
+    tp = tk.init_talker_params(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.float32)
+    tpq = quant.quantize_talker(tp)
+    tpd = quant.dequantize_talker(tpq, jnp.float32)
+    lay = tpd["layers"]
+    assert "qkv_proj" not in lay and "layers_list" not in tpd
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                 "o_proj", "down_proj"):
+        assert not isinstance(lay[name], quant.QTensor), name
+        assert lay[name].shape == tp["layers"][name].shape, name
+    assert not isinstance(tpd["codec_head"], quant.QTensor)
+
+    geo = tfm.geometry_of(cfg)
+    kv = tfm.init_kv_cache(geo, 1, 32, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.hidden_size)) * 0.3
+    hq, _ = tk.decode_step(tpq, x, jnp.array([0]), kv, cfg)
+    hd, _ = tk.decode_step(tpd, x, jnp.array([0]), kv, cfg)
+    cos = float(jnp.sum(hq * hd) /
+                (jnp.linalg.norm(hq) * jnp.linalg.norm(hd) + 1e-9))
+    assert cos > 0.999, cos
+
+
+def test_convert_tool_quantized_artifact(tmp_path):
+    """convert_weights.py --quantize int8 writes an artifact the engine
+    loads and serves (auto-detected int8 tier)."""
+    import sys
+    sys.path.insert(0, "tools")
+    from convert_weights import main as cw_main
+
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+
+    d = tmp_path / "art"
+    d.mkdir()
+    out = str(d / "params.npz")
+    rc = cw_main(["--random", "--tiny", "--quantize", "int8",
+                  "--dtype", "float32", "--output", out])
+    assert rc == 0 and os.path.exists(out)
+
+    eng = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32)
+    assert eng.quantize == "int8"
+    res = eng.synthesize("tool artifact", language="english", seed=0)
+    assert len(res.audio_int16) == res.n_tokens * 1920
+
+
+def test_batcher_serves_dequantized_prequant_artifact(tmp_path):
+    """The daemon's batched tier serves a pre-quantized int8 artifact by
+    dequantizing the talker to the dense layout (serve/daemon.py main:
+    int8 is measured slower at serving batch sizes); the CP stays
+    QTensor and routes through the quantized path."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg = tiny_tts_config(max_tokens=8)
+    base = weights_io.init_random_params(cfg, seed=2, dtype=jnp.float32)
+    art = dict(base)
+    art["talker"] = jax.jit(quant.quantize_talker)(base["talker"])
+    art["code_predictor"] = jax.jit(quant.quantize_code_predictor)(
+        base["code_predictor"])
+    d = tmp_path / "art"
+    d.mkdir()
+    weights_io.save_pytree_npz(str(d / "params.npz"), art, config=cfg)
+
+    eng = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32)
+    assert eng.quantize == "int8"
+    params = {**eng.params,
+              "talker": jax.jit(quant.dequantize_talker)(
+                  eng.params["talker"])}
+    assert not quant.is_quantized(params["talker"])
+    batcher = ContinuousBatcher(eng.cfg, params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    batcher.start()
+    try:
+        ids, n = eng._encode_text("dequantized artifact")
+        codes, audio = batcher.submit(np.asarray(ids), int(n),
+                                      seed=1).result(timeout=300)
+        assert len(audio) == len(codes) * 1920 and len(codes) > 0
+    finally:
+        batcher.stop()

@@ -66,6 +66,16 @@ def main(argv=None) -> int:
                    help="Also dump text/codec embedding .npy files "
                         "(inspection parity with the reference's "
                         "extract_embeddings.py outputs)")
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int8-cp"],
+                   help="Write a PRE-QUANTIZED artifact (the reference "
+                        "ships GGUF Q4_K_M / GGML Q4_0 the same way): "
+                        "'int8' quantizes talker+CP — the fastest "
+                        "ENGINE-mode artifact, ~half the load bytes; "
+                        "'int8-cp' quantizes only the code predictor — "
+                        "the universal artifact (the batched tier wants "
+                        "a bf16 talker). TTSEngine auto-detects either; "
+                        "the vocoder always stays FP32")
     p.add_argument("--platform", default="cpu",
                    choices=["default", "cpu", "tpu"])
     args = p.parse_args(argv)
@@ -129,6 +139,17 @@ def main(argv=None) -> int:
             cfg = weights_io.detect_tts_config(args.model_dir, base=cfg)
         params = weights_io.load_params(args.model_dir, cfg, dtype)
 
+    if args.quantize:
+        import jax
+
+        from qwen3_tts_tpu.ops import quant as quant_ops
+        print(f"Quantizing ({args.quantize}; vocoder stays FP32)...")
+        if args.quantize == "int8":
+            params["talker"] = jax.jit(quant_ops.quantize_talker)(
+                params["talker"])
+        params["code_predictor"] = jax.jit(
+            quant_ops.quantize_code_predictor)(params["code_predictor"])
+
     print(f"Saving native checkpoint: {args.output}")
     # embed the config so loaders never guess shape-underivable geometry
     weights_io.save_pytree_npz(args.output, params, config=cfg)
@@ -138,10 +159,14 @@ def main(argv=None) -> int:
     if args.dump_embeddings:
         os.makedirs(args.dump_embeddings, exist_ok=True)
         tp = params["talker"]
+        head = tp["codec_head"]
+        if args.quantize == "int8":
+            from qwen3_tts_tpu.ops.quant import dequantize
+            head = dequantize(head, jnp.float32)
         dumps = {
             "text_embedding.npy": tp["text_embedding"],
             "codec_embedding.npy": tp["codec_embedding"],
-            "codec_head.npy": np.asarray(tp["codec_head"]).T,  # (V, H) like ref
+            "codec_head.npy": np.asarray(head).T,  # (V, H) like ref
             "text_projection_linear_fc1_weight.npy": np.asarray(tp["proj_fc1_w"]).T,
             "text_projection_linear_fc1_bias.npy": tp["proj_fc1_b"],
             "text_projection_linear_fc2_weight.npy": np.asarray(tp["proj_fc2_w"]).T,

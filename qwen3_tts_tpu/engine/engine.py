@@ -153,6 +153,15 @@ class TTSEngine:
         pre_c = quant_ops.is_quantized(self.params.get("code_predictor",
                                                        {}))
         if pre_t or pre_c:
+            if pre_t and quantize == "int8-cp":
+                # an explicit bf16-talker request (the batched/mesh tier
+                # layout) against a fully-quantized artifact: honor it by
+                # dequantizing rather than silently overriding to int8
+                import functools
+                self.params["talker"] = jax.jit(functools.partial(
+                    quant_ops.dequantize_talker, dtype=dtype))(
+                        self.params["talker"])
+                pre_t = False
             if pre_t:
                 self.params["talker"] = jax.jit(
                     quant_ops.attach_layer_list)(self.params["talker"])
@@ -166,7 +175,20 @@ class TTSEngine:
                 self.params["talker"] = jax.jit(quant_ops.quantize_talker)(
                     self.params["talker"])
                 pre_t = True
-            quantize = "int8" if pre_t else "int8-cp"
+            if not pre_c and quantize in ("int8", "int8-cp"):
+                # talker-only artifact but the caller asked for the int8
+                # CP kernel tier: quantize the (still-dense) CP at init
+                self.params["code_predictor"] = jax.jit(
+                    quant_ops.quantize_code_predictor)(
+                        self.params["code_predictor"])
+                pre_c = True
+            # report the ACTUAL post-init state: a talker-only artifact
+            # loaded with quantize=None keeps its dense CP, and the label
+            # must say so (downstream kernels key off QTensor presence,
+            # but tools/operators read this field)
+            quantize = ("int8" if pre_t and pre_c
+                        else "int8-cp" if pre_c
+                        else "int8-talker")
         elif quantize in ("int8", "int8-cp"):
             # weight-only int8 (the reference's GGUF Q4_K_M / Q4_0 tier;
             # vocoder stays FP32 — ops/quant.py). "int8-cp" quantizes only

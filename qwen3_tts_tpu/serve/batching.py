@@ -213,8 +213,25 @@ class ContinuousBatcher:
                              f"got {pipeline_depth}")
         self.pipeline_depth = pipeline_depth
         self.cfg = cfg
+        from qwen3_tts_tpu.ops import quant as quant_ops
+        if (quant_ops.is_quantized(params.get("talker", {}))
+                and not (quantize_talker and mesh is None)):
+            # pre-quantized engine-mode artifact (convert_weights.py
+            # --quantize int8): the batched tier wants a dense talker at
+            # the tier's dtype — int8 is measured SLOWER at serving batch
+            # sizes (8.1 vs 17.7 audio-s/s, docs/BENCHMARKS.md) and the
+            # fused layout has no mesh sharding specs. This policy lives
+            # HERE (not in daemon.main) so every batcher caller gets it.
+            import functools
+            print("ContinuousBatcher: pre-quantized talker -> dense "
+                  f"{jnp.dtype(dtype).name} for the batched tier "
+                  "(docs/BENCHMARKS.md; prefer a --quantize int8-cp "
+                  "artifact for serving)", file=sys.stderr, flush=True)
+            params = {**params,
+                      "talker": jax.jit(functools.partial(
+                          quant_ops.dequantize_talker, dtype=dtype))(
+                              params["talker"])}
         if quantize_talker and mesh is None:
-            from qwen3_tts_tpu.ops import quant as quant_ops
             if "qkv_proj" not in params["talker"]["layers"]:
                 params = {**params,
                           "talker": quant_ops.quantize_talker(

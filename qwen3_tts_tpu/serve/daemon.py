@@ -818,24 +818,11 @@ def main(argv=None) -> int:
                        quantize=quantize)
     batcher = None
     if args.batch > 0:
-        from qwen3_tts_tpu.ops import quant as quant_ops
         from qwen3_tts_tpu.serve.batching import ContinuousBatcher
-        batcher_params = engine.params
-        if quant_ops.is_quantized(engine.params.get("talker", {})):
-            # pre-quantized engine-mode artifact (convert_weights.py
-            # --quantize int8): the batched tier wants a bf16 talker
-            # (int8 is measured SLOWER at serving batch sizes and the
-            # fused layout has no mesh specs) — dequantize a copy for
-            # the batcher; the engine tier keeps serving int8
-            print("pre-quantized talker: dequantizing to bf16 for the "
-                  "batched tier (docs/BENCHMARKS.md; prefer a "
-                  "--quantize int8-cp artifact for serving)", flush=True)
-            import jax
-            batcher_params = {
-                **engine.params,
-                "talker": jax.jit(quant_ops.dequantize_talker)(
-                    engine.params["talker"])}
-        batcher = ContinuousBatcher(engine.cfg, batcher_params,
+        # a pre-quantized engine-mode artifact is dequantized to the
+        # tier's dtype by ContinuousBatcher itself (the batched tier
+        # policy lives there); the engine tier keeps serving int8
+        batcher = ContinuousBatcher(engine.cfg, engine.params,
                                     batch_size=args.batch, dtype=dtype,
                                     decode_chunk=args.decode_chunk,
                                     paged=args.paged,

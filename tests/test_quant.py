@@ -239,8 +239,13 @@ def test_convert_tool_quantized_artifact(tmp_path):
     """convert_weights.py --quantize int8 writes an artifact the engine
     loads and serves (auto-detected int8 tier)."""
     import sys
-    sys.path.insert(0, "tools")
-    from convert_weights import main as cw_main
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        from convert_weights import main as cw_main
+    finally:
+        sys.path.remove(tools_dir)
 
     from qwen3_tts_tpu.engine.engine import TTSEngine
 
@@ -258,10 +263,11 @@ def test_convert_tool_quantized_artifact(tmp_path):
 
 
 def test_batcher_serves_dequantized_prequant_artifact(tmp_path):
-    """The daemon's batched tier serves a pre-quantized int8 artifact by
-    dequantizing the talker to the dense layout (serve/daemon.py main:
-    int8 is measured slower at serving batch sizes); the CP stays
-    QTensor and routes through the quantized path."""
+    """ContinuousBatcher itself dequantizes a pre-quantized talker to the
+    tier's dtype (int8 is measured slower at serving batch sizes —
+    docs/BENCHMARKS.md); the CP stays QTensor and routes through the
+    quantized path. The policy lives in the batcher so every caller
+    (daemon, library users, dev tools) gets it."""
     from qwen3_tts_tpu.config import tiny_tts_config
     from qwen3_tts_tpu.engine.engine import TTSEngine
     from qwen3_tts_tpu.io import weights as weights_io
@@ -279,12 +285,14 @@ def test_batcher_serves_dequantized_prequant_artifact(tmp_path):
 
     eng = TTSEngine(cfg=None, model_dir=str(d), dtype=jnp.float32)
     assert eng.quantize == "int8"
-    params = {**eng.params,
-              "talker": jax.jit(quant.dequantize_talker)(
-                  eng.params["talker"])}
-    assert not quant.is_quantized(params["talker"])
-    batcher = ContinuousBatcher(eng.cfg, params, batch_size=2,
+    # hand the QUANTIZED params straight to the batcher: it owns the
+    # dequantize-for-serving policy and must honor the tier's dtype
+    batcher = ContinuousBatcher(eng.cfg, eng.params, batch_size=2,
                                 decode_chunk=4, dtype=jnp.float32)
+    assert not quant.is_quantized(batcher.params["talker"])
+    assert (batcher.params["talker"]["layers"]["q_proj"].dtype
+            == jnp.float32)
+    assert quant.is_quantized(batcher.params["code_predictor"])
     batcher.start()
     try:
         ids, n = eng._encode_text("dequantized artifact")
@@ -293,3 +301,101 @@ def test_batcher_serves_dequantized_prequant_artifact(tmp_path):
         assert len(audio) == len(codes) * 1920 and len(codes) > 0
     finally:
         batcher.stop()
+
+
+def test_engine_prequantized_symmetric_cases(tmp_path):
+    """The prequant auto-detect handles every talker/CP combination and
+    self.quantize reports the ACTUAL post-init state (review finding):
+
+    - full int8 artifact + quantize='int8-cp' -> talker DEQUANTIZED to
+      the engine dtype (the explicit bf16-talker request is honored, not
+      silently overridden to 'int8');
+    - talker-only artifact + quantize='int8' -> the dense CP is
+      quantized at init (the int8 CP kernel tier was asked for);
+    - talker-only artifact + quantize=None -> CP stays dense and the
+      label says 'int8-talker', not 'int8'.
+    """
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.engine.engine import TTSEngine
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    cfg = tiny_tts_config(max_tokens=6)
+    base = weights_io.init_random_params(cfg, seed=3, dtype=jnp.float32)
+
+    full = dict(base)
+    full["talker"] = jax.jit(quant.quantize_talker)(base["talker"])
+    full["code_predictor"] = jax.jit(quant.quantize_code_predictor)(
+        base["code_predictor"])
+    d_full = tmp_path / "full"
+    d_full.mkdir()
+    weights_io.save_pytree_npz(str(d_full / "params.npz"), full,
+                               config=cfg)
+
+    eng = TTSEngine(cfg=None, model_dir=str(d_full), dtype=jnp.float32,
+                    quantize="int8-cp")
+    assert eng.quantize == "int8-cp"
+    assert not quant.is_quantized(eng.params["talker"])
+    assert eng.params["talker"]["layers"]["q_proj"].dtype == jnp.float32
+    assert quant.is_quantized(eng.params["code_predictor"])
+    res = eng.synthesize("dequantized talker", language="english", seed=0)
+    assert res.n_tokens > 0
+
+    tonly = dict(base)
+    tonly["talker"] = jax.jit(quant.quantize_talker)(base["talker"])
+    d_t = tmp_path / "talker_only"
+    d_t.mkdir()
+    weights_io.save_pytree_npz(str(d_t / "params.npz"), tonly, config=cfg)
+
+    eng8 = TTSEngine(cfg=None, model_dir=str(d_t), dtype=jnp.float32,
+                     quantize="int8")
+    assert eng8.quantize == "int8"
+    assert quant.is_quantized(eng8.params["code_predictor"])
+
+    eng_none = TTSEngine(cfg=None, model_dir=str(d_t), dtype=jnp.float32)
+    assert eng_none.quantize == "int8-talker"
+    assert not quant.is_quantized(eng_none.params["code_predictor"])
+
+
+def test_convert_tool_rejects_requantize_and_keeps_npz_config(tmp_path):
+    """Round-tripping a native npz through convert_weights.py must read
+    the npz's own embedded __config__ (not stamp the default geometry),
+    and --quantize on an already-quantized artifact fails with a clear
+    error instead of an AttributeError (review finding)."""
+    import sys
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        from convert_weights import main as cw_main
+    finally:
+        sys.path.remove(tools_dir)
+
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+
+    import dataclasses
+
+    # non-default geometry so a default-config stamp would be detectable
+    cfg = tiny_tts_config(max_tokens=6)
+    cfg = dataclasses.replace(
+        cfg, talker=dataclasses.replace(cfg.talker, num_layers=3))
+    base = weights_io.init_random_params(cfg, seed=4, dtype=jnp.float32)
+    d = tmp_path / "native"
+    d.mkdir()
+    weights_io.save_pytree_npz(str(d / "params.npz"), base, config=cfg)
+
+    # dense npz -> quantized npz: geometry must survive the round trip
+    out = str(tmp_path / "quant" / "params.npz")
+    os.makedirs(os.path.dirname(out))
+    rc = cw_main(["--model_dir", str(d), "--quantize", "int8",
+                  "--dtype", "float32", "--output", out])
+    assert rc == 0
+    cfg_rt = weights_io.read_npz_config(out)
+    assert cfg_rt is not None
+    assert cfg_rt.talker.num_layers == 3
+
+    # already-quantized input + --quantize: clear argparse error
+    with pytest.raises(SystemExit):
+        cw_main(["--model_dir", os.path.dirname(out),
+                 "--quantize", "int8", "--output",
+                 str(tmp_path / "again.npz")])

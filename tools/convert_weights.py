@@ -137,12 +137,28 @@ def main(argv=None) -> int:
         if os.path.exists(os.path.join(args.model_dir, "model.safetensors")):
             # geometry from the checkpoint, not the default config
             cfg = weights_io.detect_tts_config(args.model_dir, base=cfg)
+        else:
+            npz = os.path.join(args.model_dir, "params.npz")
+            if os.path.exists(npz):
+                # round-tripping a native artifact (e.g. to quantize it):
+                # its embedded __config__ is authoritative — vocoder
+                # geometry is NOT shape-derivable, so falling back to the
+                # default config would stamp the output with wrong
+                # geometry (review finding)
+                cfg = weights_io.read_npz_config(npz) or cfg
         params = weights_io.load_params(args.model_dir, cfg, dtype)
 
     if args.quantize:
         import jax
 
         from qwen3_tts_tpu.ops import quant as quant_ops
+        if (quant_ops.is_quantized(params.get("talker", {}))
+                or quant_ops.is_quantized(params.get("code_predictor",
+                                                     {}))):
+            p.error("--quantize: the input checkpoint is already "
+                    "quantized (QTensor weights); re-quantizing would "
+                    "compound the rounding — load the original dense "
+                    "checkpoint instead")
         print(f"Quantizing ({args.quantize}; vocoder stays FP32)...")
         if args.quantize == "int8":
             params["talker"] = jax.jit(quant_ops.quantize_talker)(

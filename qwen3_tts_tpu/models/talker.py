@@ -221,7 +221,13 @@ def bucket_ref_frames(limit: int, ref_codes_np):
     b = next((bk for bk in (16, 32, 64, 128, 256)
               if n_ref <= bk and bk <= limit), None)
     if b is None:
-        b = max(int(limit), 1)
+        # past the largest bucket (>20 s reference) or a tight limit:
+        # a 64-aligned bucket of the KEPT length, clamped to the limit —
+        # not the limit itself, which would pad the prefix to the whole
+        # remaining KV budget (starving co-resident paged slots) and
+        # compile one prefill per (text-bucket, cap) combination instead
+        # of once per ref bucket
+        b = max(min(-(-n_ref // 64) * 64, max(int(limit), 1)), 1)
     padded = _np.zeros((b, 16), _np.int32)
     padded[:n_ref] = _np.asarray(ref_codes_np, _np.int32)[:n_ref, :16]
     return padded, n_ref

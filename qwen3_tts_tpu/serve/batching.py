@@ -43,7 +43,13 @@ class _Request:
     def __init__(self, text_ids, n_text, seed, max_tokens=None,
                  on_chunk=None, ref_codes=None, n_target=None):
         self.text_ids = text_ids
-        self.n_text = n_text
+        # n_text arrives as a host int at submit(); keep BOTH forms —
+        # the device scalar feeds the prefill programs, the host int
+        # feeds the admission pos-mirror update (int() on the device
+        # scalar would be a blocking d2h round trip per admission on the
+        # scheduler thread, exactly what the mirror design eliminates)
+        self.n_text = jnp.int32(n_text)
+        self.n_text_host = int(n_text)
         self.seed = seed
         self.max_tokens = max_tokens
         # voice cloning: pre-encoded reference codec frames (R, 16) and
@@ -235,6 +241,17 @@ class ContinuousBatcher:
             if "qkv_proj" not in params["talker"]["layers"]:
                 params = {**params,
                           "talker": quant_ops.quantize_talker(
+                              params["talker"])}
+            elif "layers_list" not in params["talker"]:
+                # already-quantized weights (a --quantize int8 artifact
+                # handed in with quantize_talker=True): npz loading
+                # strips the per-layer weight list the unrolled int8
+                # decode path keys off — rebuild it, or talker.decode
+                # silently falls back to the stacked scan (an HBM copy
+                # of every layer's weights per step) and the int8-vs-
+                # bf16 serving A/B measures the wrong implementation
+                params = {**params,
+                          "talker": jax.jit(quant_ops.attach_layer_list)(
                               params["talker"])}
         if quantize_cp and batch_size <= 8:
             from qwen3_tts_tpu.ops import quant as quant_ops
@@ -445,7 +462,7 @@ class ContinuousBatcher:
         exactly like the engine's prompt_dir path."""
         if (ref_codes is None) != (n_target is None):
             raise ValueError("ref_codes and n_target go together")
-        req = _Request(jnp.asarray(text_ids, jnp.int32), jnp.int32(n_text),
+        req = _Request(jnp.asarray(text_ids, jnp.int32), n_text,
                        seed, max_tokens, on_chunk,
                        ref_codes=(None if ref_codes is None
                                   else np.asarray(ref_codes, np.int32)),
@@ -730,7 +747,7 @@ class ContinuousBatcher:
                 # under-provision pages at pipeline_depth=2 and silently
                 # truncate cloned requests at their page capacity)
                 n_ref = req.cloned_prep[1] if req.cloned_prep else 0
-                pos[slot] = int(req.n_text) + PREFIX_EXTRA + n_ref
+                pos[slot] = req.n_text_host + PREFIX_EXTRA + n_ref
                 admitted.append(slot)
                 break
         return admitted
@@ -988,7 +1005,12 @@ class ContinuousBatcher:
                              else np.zeros((0,), np.int16))
                 elif slot in voc_futs:
                     audio = np.asarray(voc_futs[slot])[0][:n * spt]
-                else:  # n == 0 or > 256 tokens
+                elif n == 0:
+                    # keep submit()'s int16 contract even for an
+                    # immediate-EOS request (synthesize_exact's n==0
+                    # early-exit returns float32)
+                    audio = np.zeros((0,), np.int16)
+                else:  # > 256 tokens
                     audio = voc.synthesize_exact(
                         lambda ch: self._voc(self.params["vocoder"],
                                              jnp.asarray(ch)),

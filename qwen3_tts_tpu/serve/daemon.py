@@ -524,8 +524,12 @@ class TTSDaemon:
                     r.cancelled = True
             self.stats.record_error()
             if send_frame is not None:
-                send_frame(encode_response({"done": True,
-                                            "error": str(e)}, None))
+                try:
+                    send_frame(encode_response({"done": True,
+                                                "error": str(e)}, None))
+                except OSError:
+                    pass  # dead client: already counted — letting this
+                    # escape would double-count in handle()'s catch-all
                 return None
             return encode_response({"error": str(e)}, None)
         audio_i16 = (np.concatenate(parts_audio) if parts_audio

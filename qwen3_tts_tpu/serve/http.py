@@ -68,6 +68,14 @@ def _wav_bytes(audio_int16: np.ndarray) -> bytes:
 class _Handler(BaseHTTPRequestHandler):
     daemon_ref: TTSDaemon = None   # set by serve_http
     protocol_version = "HTTP/1.1"
+    # socket timeout (StreamRequestHandler.setup applies it to the
+    # connection): without one, a stalled streaming client blocks
+    # send_frame's wfile.write forever — and engine-mode synthesis runs
+    # under the daemon's engine_lock, so one dead reader would wedge
+    # every request on BOTH transports. 300 s matches the unix path
+    # (daemon.py conn.settimeout). socket.timeout is an OSError, so the
+    # daemon's existing dead-client guards catch it.
+    timeout = 300.0
 
     def log_message(self, fmt, *args):   # quiet by default
         pass
@@ -372,11 +380,14 @@ class HTTPFrameReader:
 
 
 def serve_http(daemon: TTSDaemon, host: str = "127.0.0.1",
-               port: int = 8750) -> ThreadingHTTPServer:
+               port: int = 8750,
+               client_timeout: float = 300.0) -> ThreadingHTTPServer:
     """Start the HTTP gateway on a background thread; returns the server
     (call ``.shutdown()`` to stop). The daemon's ``handle`` does the
-    work; this only owns the transport."""
-    handler = type("BoundHandler", (_Handler,), {"daemon_ref": daemon})
+    work; this only owns the transport. ``client_timeout`` bounds every
+    client socket read/write (see _Handler.timeout)."""
+    handler = type("BoundHandler", (_Handler,),
+                   {"daemon_ref": daemon, "timeout": client_timeout})
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

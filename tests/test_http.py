@@ -332,3 +332,42 @@ def test_stream_error_arrives_as_done_frame(gateway):
     hdr, audio = frames[0]
     assert "error" in hdr and hdr.get("done") is True and len(audio) == 0
     c.close()
+
+
+def test_stalled_client_times_out_without_wedging(gateway):
+    """A client that stalls mid-request must not hold the handler thread
+    (and, in engine mode, the engine_lock) forever: _Handler.timeout
+    bounds every socket read/write, so the stalled connection dies and
+    subsequent requests keep working (review finding: an unbounded
+    streaming client would wedge BOTH transports)."""
+    import socket
+    import time
+
+    engine, host, port = gateway
+    # a dedicated gateway with a short timeout so the test is fast
+    daemon = TTSDaemon(engine, socket_path="/tmp/unused_http_stall.sock")
+    srv = serve_http(daemon, host="127.0.0.1", port=0, client_timeout=1.0)
+    h, p = srv.server_address
+    try:
+        # stall: declare a body we never send — rfile.read(n) blocks
+        # until the socket timeout fires and the handler thread exits
+        s = socket.create_connection((h, p))
+        s.sendall(b"POST /v1/synthesize HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Length: 100\r\n\r\n")
+        time.sleep(1.5)   # > client_timeout
+
+        # the gateway must still serve other clients
+        c = http.client.HTTPConnection(h, p, timeout=60)
+        c.request("GET", "/health")
+        r = c.getresponse()
+        assert r.status == 200 and json.loads(r.read())["ok"] is True
+        c.request("POST", "/v1/synthesize", body=json.dumps(
+            {"text": "after stall", "language": "english",
+             "seed": 2}).encode())
+        r = c.getresponse()
+        assert r.status == 200
+        assert len(r.read()) > 44   # a real WAV, not an error JSON
+        c.close()
+        s.close()
+    finally:
+        srv.shutdown()

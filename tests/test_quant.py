@@ -399,3 +399,39 @@ def test_convert_tool_rejects_requantize_and_keeps_npz_config(tmp_path):
         cw_main(["--model_dir", os.path.dirname(out),
                  "--quantize", "int8", "--output",
                  str(tmp_path / "again.npz")])
+
+
+def test_batcher_quantize_talker_prequant_attaches_layer_list(tmp_path):
+    """quantize_talker=True over an ALREADY-quantized artifact must
+    rebuild layers_list (npz loading strips it): without it talker.decode
+    silently falls back to the stacked-scan path and the int8-vs-bf16
+    serving A/B measures the wrong implementation (review finding)."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg = tiny_tts_config(max_tokens=8)
+    base = weights_io.init_random_params(cfg, seed=5, dtype=jnp.float32)
+    art = dict(base)
+    art["talker"] = jax.jit(quant.quantize_talker)(base["talker"])
+    d = tmp_path / "art"
+    d.mkdir()
+    weights_io.save_pytree_npz(str(d / "params.npz"), art, config=cfg)
+
+    # plain npz load: QTensor weights survive, layers_list does NOT
+    loaded = weights_io.load_params(str(d), cfg, jnp.float32)
+    assert quant.is_quantized(loaded["talker"])
+    assert "layers_list" not in loaded["talker"]
+
+    batcher = ContinuousBatcher(cfg, loaded, batch_size=2, decode_chunk=4,
+                                dtype=jnp.float32, quantize_talker=True)
+    assert quant.is_quantized(batcher.params["talker"])
+    assert "layers_list" in batcher.params["talker"]
+    batcher.start()
+    try:
+        fut = batcher.submit(np.arange(5, dtype=np.int32), 5, seed=1)
+        codes, audio = fut.result(timeout=300)
+        assert len(audio) == len(codes) * 1920 and len(codes) > 0
+        assert audio.dtype == np.int16
+    finally:
+        batcher.stop()

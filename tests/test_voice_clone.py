@@ -221,3 +221,28 @@ def test_cloned_paged_depth2_no_truncation(setup):
         f_bg.result(timeout=1)
     np.testing.assert_array_equal(out[1], out[2])
     assert len(out[1]) > 0
+
+
+def test_bucket_ref_frames_long_reference():
+    """A reference past the largest shape bucket (>256 frames) pads to a
+    64-aligned bucket of the KEPT length clamped to the limit — not to
+    the whole limit (which would allocate the slot's entire KV budget
+    and compile one prefill per (text-bucket, cap) combination; review
+    finding)."""
+    ref = np.ones((300, 16), np.int32)
+    padded, n_ref = tk.bucket_ref_frames(500, ref)
+    assert n_ref == 300
+    assert padded.shape == (320, 16)          # 64-aligned, NOT 500
+    assert (padded[:300] == 1).all() and (padded[300:] == 0).all()
+
+    # limit tighter than the 64-aligned bucket: clamp to the limit
+    padded, n_ref = tk.bucket_ref_frames(310, ref)
+    assert n_ref == 300 and padded.shape == (310, 16)
+
+    # limit below the smallest bucket still truncates + fits
+    padded, n_ref = tk.bucket_ref_frames(10, ref)
+    assert n_ref == 10 and padded.shape == (10, 16)
+
+    # in-bucket behavior unchanged
+    padded, n_ref = tk.bucket_ref_frames(500, ref[:100])
+    assert n_ref == 100 and padded.shape == (128, 16)

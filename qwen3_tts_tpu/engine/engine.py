@@ -334,10 +334,9 @@ class TTSEngine:
                         ref_codes_np, key):
         """Bucket the ref frames, clamp to the KV allocation, prefill with
         LRU reuse keyed on (text, ref codes)."""
-        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
         S = self.cfg.talker.max_seq_len
         text_pad = int(text_ids.shape[0])
-        limit = max(S - PREFIX_EXTRA - text_pad - 8, 0)
+        limit = tk.cloned_ref_limit(S, text_pad)
         padded, n_ref = tk.bucket_ref_frames(limit, ref_codes_np)
         if n_ref < len(ref_codes_np):
             print(f"warning: reference audio truncated to {n_ref} frames "

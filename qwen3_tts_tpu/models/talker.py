@@ -207,6 +207,16 @@ def build_prefix_cloned(
 
 
 
+def cloned_ref_limit(cap: int, text_pad: int) -> int:
+    """Prefix budget (in KV rows) for a cloning request's reference
+    frames: the KV allocation ``cap`` minus the padded text rows, the
+    PREFIX_EXTRA special rows, and 8 rows of decode headroom. The ONE
+    home for this clamp: the engine prompt path and the batched serving
+    tier must produce bit-identical cloned prefills (docs/PARITY.md), so
+    the formula must not fork across files."""
+    return max(int(cap) - PREFIX_EXTRA - int(text_pad) - 8, 0)
+
+
 def bucket_ref_frames(limit: int, ref_codes_np):
     """Host-side prep for a cloned prefix: clamp the reference codec
     frames to ``limit`` rows and zero-pad them to a shape bucket

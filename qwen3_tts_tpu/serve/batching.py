@@ -193,11 +193,12 @@ class ContinuousBatcher:
         batching amortizes weight streaming so int8 only adds overhead);
         kept as an experimentation knob, off by default.
 
-        ``quantize_cp`` (default on): int8 code predictor, which routes
-        the 14-step AR loop through the VMEM-resident Pallas kernel for
-        batch <= 8 on a single chip (ops/pallas/cp_decode.py) instead of
-        re-streaming the CP layer stack 14x per token. On a mesh the int8
-        CP runs the sharded scan path (QTensor sharding specs in
+        ``quantize_cp`` (default on): int8 code predictor. Batch <= 8 on
+        a single chip routes the 14-step AR loop through the
+        VMEM-resident Pallas kernel (ops/pallas/cp_decode.py) instead of
+        re-streaming the CP layer stack 14x per token; larger batches
+        and meshes run the same int8 weights through the scan path's
+        Pallas dequant matmuls (QTensor sharding specs in
         parallel/mesh.adapt_spec_to_params). ``quantize_talker`` stays
         single-chip: its fused qkv/gateup int8 layout has no mesh specs
         because bf16 is measured faster at serving batch sizes anyway.
@@ -253,8 +254,15 @@ class ContinuousBatcher:
                 params = {**params,
                           "talker": jax.jit(quant_ops.attach_layer_list)(
                               params["talker"])}
-        if quantize_cp and batch_size <= 8:
-            from qwen3_tts_tpu.ops import quant as quant_ops
+        if quantize_cp:
+            # quantize unconditionally: the VMEM-resident kernel self-
+            # gates to batch <= 8 / single chip (code_predictor.
+            # _fused_kernel_ok); past that the scan path runs the same
+            # int8 weights through the Pallas dequant matmuls (halving
+            # the 14x-per-token layer-stack streaming that dominates CP
+            # cost). An earlier batch<=8 guard here silently served a
+            # FLOAT CP at larger batches while the docstring promised
+            # int8 (review finding).
             from qwen3_tts_tpu.ops.quant import QTensor
             if not isinstance(params["code_predictor"]["lm_heads"],
                               QTensor):
@@ -572,14 +580,32 @@ class ContinuousBatcher:
             # mark them done so admission can recycle them
             mask = np.zeros((self.batch_size,), bool)
             mask[abandoned] = True
-            self._state = self._mark_done(self._state, jnp.asarray(mask))
+            try:
+                self._state = self._mark_done(self._state,
+                                              jnp.asarray(mask))
+            except Exception as e:
+                # a dead device/tunnel must not abort stop() mid-cleanup:
+                # host-side teardown below still has to run so a later
+                # start() isn't wedged by half-reset flags (same policy
+                # as _abort_inflight's guarded release)
+                print(f"batcher stop: mark-done failed ({e}); device "
+                      "state abandoned", file=sys.stderr)
         if self.paged:
             # abandoned in-flight slots must return their pages (their
             # zeroed table rows alias reserved page 0, which is never
             # read, so any residual frozen-slot writes are harmless)
             for slot in range(self.batch_size):
                 if self._slot_req[slot] is not None and self._slot_pages[slot]:
-                    self._state = self._release(self._state, jnp.int32(slot))
+                    try:
+                        self._state = self._release(self._state,
+                                                    jnp.int32(slot))
+                    except Exception:
+                        # release failed: the slot's table row may still
+                        # point at these pages — recycling them would hand
+                        # corrupted pages to a future request. Leak them
+                        # (bounded; same policy as _abort_inflight).
+                        self._slot_pages[slot] = []
+                        continue
                     self._free_by_group[self._slot_group(slot)].extend(
                         self._slot_pages[slot])
                     self._slot_pages[slot] = []
@@ -598,13 +624,11 @@ class ContinuousBatcher:
         """Bucket a cloning request's reference frames against a prefix
         budget of ``cap`` KV rows (dense: max_seq_len; paged: the slot's
         page capacity), leaving 8 rows of decode headroom — the same
-        clamp as engine._prefill_cloned. Returns (padded (b,16), n_ref)."""
-        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
-
+        clamp as engine._prefill_cloned (tk.cloned_ref_limit is the one
+        home for the formula). Returns (padded (b,16), n_ref)."""
         if req.cloned_prep is not None:
             return req.cloned_prep
-        text_pad = int(req.text_ids.shape[0])
-        limit = max(cap - PREFIX_EXTRA - text_pad - 8, 0)
+        limit = tk.cloned_ref_limit(cap, int(req.text_ids.shape[0]))
         padded, n_ref = tk.bucket_ref_frames(limit, req.ref_codes)
         if n_ref < len(req.ref_codes):
             print(f"warning: reference audio truncated to {n_ref} frames "
@@ -711,6 +735,14 @@ class ContinuousBatcher:
                     else:
                         S = self.cfg.talker.max_seq_len
                         p_pad = int(req.text_ids.shape[0]) + PREFIX_EXTRA
+                        if req.ref_codes is not None:
+                            # bucket FIRST: even a fully-truncated ref
+                            # yields a >= 1-row pad bucket, so checking
+                            # p_pad alone would admit a prefix one row
+                            # past S and fail with an opaque XLA shape
+                            # error instead of this ValueError
+                            ref_pad, n_ref = self._cloned_inputs(req, S)
+                            p_pad += int(ref_pad.shape[0])
                         if p_pad > S:
                             raise ValueError(
                                 f"request prefix ({p_pad} rows incl. "
@@ -718,7 +750,6 @@ class ContinuousBatcher:
                                 f"KV allocation (max_seq_len={S}); shorten "
                                 f"the text or use the paged batcher")
                         if req.ref_codes is not None:
-                            ref_pad, n_ref = self._cloned_inputs(req, S)
                             sub = self._prefill_cloned_one(
                                 self.params["talker"],
                                 self.params["code_predictor"]["codec_embs"],
@@ -779,6 +810,18 @@ class ContinuousBatcher:
                 f"text or raise max_pages_per_slot/page_size")
         need = -(-(p_pad + self.decode_chunk + 2) // psz)
         need = min(need, self.max_pages_per_slot)
+        # never-fits: a prefix needing more pages than the group's pool
+        # holds even when fully idle would otherwise backlog forever and
+        # wedge every request FIFO-queued behind it (the guard above only
+        # bounds against max_pages_per_slot, which can exceed a small
+        # pool_pages override)
+        usable = self._pages_per_group - 1   # one reserved page per group
+        if need > usable:
+            raise ValueError(
+                f"request prefix needs {need} pages but the pool has only "
+                f"{usable} usable pages per dp group (pool_pages="
+                f"{self.pool_pages}, page_size={psz}); raise pool_pages "
+                f"or shorten the text")
         if len(free) < need:
             return False
 

@@ -269,3 +269,26 @@ def test_paged_batcher_streaming_matches_blob(long_cfg_params):
     np.testing.assert_array_equal(audio_s, audio_b)
     assert segs and np.testing.assert_array_equal(
         np.concatenate(segs), audio_s) is None
+
+
+def test_paged_never_fits_pool_raises(long_cfg_params):
+    """A prefix needing more pages than the group's pool holds even when
+    fully idle must fail ITS OWN Future with a clear error instead of
+    backlogging forever (which would also wedge every request queued
+    behind it); a small request behind it must still be served."""
+    cfg, params = long_cfg_params
+    # pool_pages=3 -> 2 usable pages = 32 rows; a 30-token text needs
+    # ceil((39 + 8 + 2) / 16) = 4 pages
+    b = _paged_batcher(cfg, params, batch_size=1, decode_chunk=8,
+                       page_size=16, pool_pages=3)
+    f_bad = b.submit(np.arange(100, 130, dtype=np.int32), 30, seed=1)
+    f_ok = b.submit(np.arange(5, dtype=np.int32), 5, seed=2)
+    for _ in range(400):
+        if f_bad.done() and f_ok.done():
+            break
+        b.step()
+    with pytest.raises(ValueError, match="usable pages per dp group"):
+        f_bad.result(timeout=1)
+    codes, audio = f_ok.result(timeout=1)
+    assert len(audio) == len(codes) * 1920
+    assert len(b._free_pages) == 2   # fully recycled

@@ -435,3 +435,29 @@ def test_batcher_quantize_talker_prequant_attaches_layer_list(tmp_path):
         assert audio.dtype == np.int16
     finally:
         batcher.stop()
+
+
+def test_batcher_quantize_cp_past_kernel_batch(tmp_path):
+    """quantize_cp must quantize the code predictor at ANY batch size —
+    past the Pallas kernel's 8-row bound the scan path runs the same int8
+    weights (the kernel gate self-selects in code_predictor.
+    _fused_kernel_ok); an earlier constructor guard silently served a
+    float CP at batch > 8 (review finding)."""
+    from qwen3_tts_tpu.config import tiny_tts_config
+    from qwen3_tts_tpu.io import weights as weights_io
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg = tiny_tts_config(max_tokens=6)
+    params = weights_io.init_random_params(cfg, seed=6, dtype=jnp.float32)
+    b = ContinuousBatcher(cfg, params, batch_size=10, decode_chunk=4,
+                          dtype=jnp.float32, quantize_cp=True)
+    assert quant.is_quantized(b.params["code_predictor"])
+    futs = [b.submit(np.arange(4, dtype=np.int32), 4, seed=i)
+            for i in range(3)]
+    for _ in range(400):
+        if all(f.done() for f in futs):
+            break
+        b.step()
+    for f in futs:
+        codes, audio = f.result(timeout=1)
+        assert len(audio) == len(codes) * 1920 and len(codes) > 0

@@ -246,3 +246,26 @@ def test_bucket_ref_frames_long_reference():
     # in-bucket behavior unchanged
     padded, n_ref = tk.bucket_ref_frames(500, ref[:100])
     assert n_ref == 100 and padded.shape == (128, 16)
+
+
+def test_dense_cloned_boundary_fails_cleanly(setup):
+    """A cloning request whose text alone exactly fills the dense KV
+    allocation must fail with the crafted ValueError, not an XLA shape
+    error: bucket_ref_frames always returns a >= 1-row pad bucket, so the
+    admission precheck must count it (review finding)."""
+    from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    cfg, params = setup
+    S = cfg.talker.max_seq_len
+    b = ContinuousBatcher(cfg, params, batch_size=1, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids = np.arange(S - PREFIX_EXTRA, dtype=np.int32)   # p_pad == S exactly
+    f = b.submit(ids, len(ids), seed=0,
+                 ref_codes=np.ones((4, 16), np.int32), n_target=4)
+    for _ in range(200):
+        if f.done():
+            break
+        b.step()
+    with pytest.raises(ValueError, match="exceeds the dense KV"):
+        f.result(timeout=1)

@@ -59,28 +59,46 @@ class SynthesisResult:
         return len(self.audio_int16) / SAMPLE_RATE
 
 
-def _bucket(n: int, buckets=(16, 32, 64, 128, 256)) -> int:
+# text-id pad buckets, shared by _bucket and _encode_text's KV-limit
+# clamp (review finding: two inline copies could drift)
+_TEXT_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket(n: int, buckets=_TEXT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
     return buckets[-1]
 
 
-def _pacing_bound(budget_cap: int, n_text: int) -> int:
+def _pacing_bound(budget_cap: int, n_text: int,
+                  scfg: "SamplingConfig" = None) -> int:
     """Tightest known bound on generated tokens. For n_text > 0 the
-    EOS-pacing force (progress > 2.0, ops/sampling.py:125) guarantees
-    n <= 6*n_text + 1; n_text == 0 pins progress to 0 and disables pacing
-    entirely, so only the budget bounds the decode — bounding by 6*0+2
-    there would silently truncate audio. ONE definition shared by the
-    chained non-streaming window and the streaming optimistic windows
-    (review finding: two inline copies could drift)."""
-    return min(budget_cap, (6 * n_text + 2) if n_text > 0 else budget_cap)
+    EOS-pacing force (progress > eos_force_progress, ops/sampling.py)
+    guarantees n <= expected_tokens_per_text_token * eos_force_progress
+    * n_text + 1 (6*n_text + 1 at the reference defaults); n_text == 0
+    pins progress to 0 and disables pacing entirely, so only the budget
+    bounds the decode — a 0*n+2 bound there would silently truncate
+    audio. ONE definition shared by the chained non-streaming window and
+    the streaming optimistic windows; the multiplier derives from the
+    SamplingConfig so a non-default pacing policy cannot drift from the
+    window sizing (review finding)."""
+    if n_text <= 0:
+        return budget_cap
+    if scfg is None:
+        mult = 6.0   # reference defaults: 3 tokens/text-token, force @ 2.0
+    else:
+        mult = (scfg.expected_tokens_per_text_token
+                * scfg.eos_force_progress)
+    import math
+    return min(budget_cap, int(math.ceil(mult * n_text)) + 2)
 
 
-def _chained_voc_window(budget_cap: int, n_text: int) -> int:
+def _chained_voc_window(budget_cap: int, n_text: int,
+                        scfg: "SamplingConfig" = None) -> int:
     """Static vocoder window (tokens) for the chained non-streaming path:
     bucket of the pacing bound plus one zero-code lookahead token."""
-    return voc.voc_bucket(_pacing_bound(budget_cap, n_text) + 1)
+    return voc.voc_bucket(_pacing_bound(budget_cap, n_text, scfg) + 1)
 
 
 def _enable_compile_cache() -> None:
@@ -449,7 +467,7 @@ class TTSEngine:
         limit = self.cfg.talker.max_seq_len - PREFIX_EXTRA
         b = _bucket(n)
         if b > limit:
-            fits = [bk for bk in (16, 32, 64, 128, 256) if bk <= limit]
+            fits = [bk for bk in _TEXT_BUCKETS if bk <= limit]
             b = fits[-1] if fits else max(limit, 1)
         if n > b:
             # covers both the KV-limit clamp above and the largest-bucket
@@ -522,6 +540,13 @@ class TTSEngine:
             # device_get later in the stream path would pay a tunnel
             # round trip mid-pipeline)
             n_text_i = int(n_text)
+            # the DEVICE paces EOS on the TARGET token count for cloned
+            # requests (init_state_cloned gets prompt[1], not the full
+            # ref+target count) — window bounds must use the same number:
+            # sizing from n_text_i would under-provision when a 0-token
+            # target disables pacing entirely (review finding), and
+            # over-provision when the target is much shorter than the ref
+            pace_n = n_text_i if prompt is None else int(prompt[1])
 
         def _prefill(k):
             if prompt is None:
@@ -554,7 +579,8 @@ class TTSEngine:
             # guarantees n <= 6*n_text + 1), so short texts decode a
             # narrower window.
             with timer.stage("decode+vocoder"):
-                W = _chained_voc_window(budget_cap, n_text_i)
+                W = _chained_voc_window(budget_cap, pace_n,
+                                        self.cfg.sampling)
                 st0, state = _prefill_fused(key, jnp.int32(budget_cap))
                 if st0 is None:  # cache hit / prompt / disk path
                     state = self._decode_pipelined(tp, cpp, state,
@@ -707,7 +733,8 @@ class TTSEngine:
                     if decoded < budget_cap:
                         state = self._run_chunk(
                             tp, cpp, state, jnp.int32(budget_cap - decoded))
-                    bound = _pacing_bound(budget_cap, n_text_i)
+                    bound = _pacing_bound(budget_cap, pace_n,
+                                          self.cfg.sampling)
                     while rendered < min(bound, T_buf) - 1:
                         end = min(rendered + VOC_CHUNK_SIZE, bound - 1,
                                   T_buf - 1)
@@ -753,7 +780,10 @@ class TTSEngine:
             timings=dict(timer.stages),
             total_seconds=total,
             rtf=(total / audio_dur) if audio_dur > 0 else float("inf"),
-            first_audio_seconds=first_audio_t,
+            # a zero-token utterance emitted no audio even if the
+            # streaming path dispatched (and timed) an optimistic first
+            # window — mirror the non-streaming branches' n > 0 guard
+            first_audio_seconds=first_audio_t if n > 0 else None,
         )
         if output is not None and len(audio_i16) > 0:
             wav_io.write_wav(output, audio_i16)
@@ -769,6 +799,10 @@ class TTSEngine:
 
         Returns a list of SynthesisResult (shared timing fields).
         """
+        if not len(texts):
+            # an empty batch would otherwise surface as an obscure
+            # max()-of-empty internals error (review finding)
+            return []
         languages = languages or ["russian"] * len(texts)
         for lang in languages:
             if lang not in SUPPORTED_LANGUAGES:
@@ -810,7 +844,7 @@ class TTSEngine:
             n_codes = np.asarray(jax.device_get(state.n_codes))
             codes_all = np.asarray(jax.device_get(state.codes))
 
-        results = []
+        rows = []
         with timer.stage("vocoder"):
             # chain-dispatch every row's bucketed window on the DEVICE
             # codes, then drain the fetches as one overlapped burst (the
@@ -833,14 +867,21 @@ class TTSEngine:
                     audio = voc.synthesize_exact(
                         lambda ch: self._voc_chunk(vp, jnp.asarray(ch)),
                         codes_np)
-                audio_i16 = voc.to_int16(audio)
-                dur = len(audio_i16) / SAMPLE_RATE
-                results.append(SynthesisResult(
-                    audio_int16=audio_i16, codes=codes_np, n_tokens=n,
-                    timings=dict(timer.stages),
-                    total_seconds=timer.total(),
-                    rtf=(timer.total() / dur) if dur > 0 else float("inf"),
-                ))
+                rows.append((codes_np, n, voc.to_int16(audio)))
+        # build the results AFTER the stage closes: StageTimer records a
+        # stage in its finally block, so constructing inside the with
+        # would drop the vocoder stage from every row's timings and
+        # sample total_seconds mid-stage (rows would disagree)
+        total = timer.total()
+        results = []
+        for codes_np, n, audio_i16 in rows:
+            dur = len(audio_i16) / SAMPLE_RATE
+            results.append(SynthesisResult(
+                audio_int16=audio_i16, codes=codes_np, n_tokens=n,
+                timings=dict(timer.stages),
+                total_seconds=total,
+                rtf=(total / dur) if dur > 0 else float("inf"),
+            ))
         return results
 
     def synthesize_long(self, text: str, language: str = "russian",

@@ -182,3 +182,36 @@ def test_empty_text_synthesis(engine):
     full budget and the audio/token accounting must stay consistent."""
     res = engine.synthesize("", language="english", seed=0)
     assert len(res.audio_int16) == res.n_tokens * SAMPLES_PER_TOKEN
+
+
+def test_pacing_bound_derives_from_sampling_config():
+    """The window-sizing multiplier must come from SamplingConfig, not a
+    hardcoded 6 — a non-default pacing policy (both fields are public
+    config) would otherwise truncate the chained vocoder window (review
+    finding)."""
+    import dataclasses
+
+    from qwen3_tts_tpu.config import SamplingConfig
+    from qwen3_tts_tpu.engine.engine import _pacing_bound
+
+    s = SamplingConfig()
+    assert _pacing_bound(200, 5, s) == 32            # ceil(3*2.0*5)+2
+    s4 = dataclasses.replace(s, expected_tokens_per_text_token=4)
+    assert _pacing_bound(200, 5, s4) == 42           # ceil(4*2.0*5)+2
+    assert _pacing_bound(200, 0, s4) == 200          # pacing disabled
+    assert _pacing_bound(10, 50, s) == 10            # budget-capped
+    assert _pacing_bound(200, 5) == 32               # default == reference
+
+
+def test_synthesize_batch_empty_and_shared_timings(engine):
+    """synthesize_batch([]) returns [] (not an internals error), and each
+    row's timings include the vocoder stage with one shared total
+    (results used to be built INSIDE the open timer stage — review
+    finding)."""
+    assert engine.synthesize_batch([]) == []
+    res = engine.synthesize_batch(["ab", "cdef"],
+                                  languages=["english", "english"])
+    assert len(res) == 2
+    for r in res:
+        assert "vocoder" in r.timings and "decode" in r.timings
+    assert res[0].total_seconds == res[1].total_seconds

@@ -40,12 +40,17 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """RMSNorm in fp32, cast back to input dtype (HF Qwen3RMSNorm semantics)."""
+    """RMSNorm, HF Qwen3RMSNorm order exactly: normalize in fp32, cast
+    back to the INPUT dtype, then multiply by the weight in that dtype
+    (modeling_qwen3: ``self.weight * hidden_states.to(input_dtype)``).
+    Multiplying in fp32 before the cast differs by up to 1 bf16 ulp per
+    element (review finding: the old order made bitwise parity with the
+    reference impossible at bf16); at fp32 the two orders are identical."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    xf = xf * jax.lax.rsqrt(var + eps)
-    return (xf * weight.astype(jnp.float32)).astype(dtype)
+    x_hat = (xf * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return x_hat * weight.astype(dtype)
 
 
 def silu(x: jax.Array) -> jax.Array:
@@ -498,14 +503,19 @@ def _paged_write_attend_local(q1: jax.Array, new_kv: jax.Array,
     The table holds GLOBAL page ids; the batcher allocates a slot's pages
     only from its dp group's range [g*p_local, (g+1)*p_local), so attention
     is embarrassingly parallel — localize by subtracting the group's base.
-    Zeroed/released entries clamp to local page 0 (reserved per group;
-    reads there are masked by pos, and frozen-slot rewrites land in it
-    harmlessly)."""
+    Any entry OUTSIDE the group's range — zeroed/released entries below
+    it, or an out-of-range id from an allocation bug — maps to local
+    page 0 (reserved per group; reads there are masked by pos, and
+    frozen-slot rewrites land in it harmlessly). A plain clip sent
+    above-range ids to live page p_local-1, where a buggy allocation
+    would silently corrupt another slot's KV instead of the sink
+    (review finding)."""
     from qwen3_tts_tpu.ops.pallas.paged_attention import (
         paged_decode_attention)
 
     dp_idx = jax.lax.axis_index("dp")
-    ltable = jnp.clip(table - dp_idx * p_local, 0, p_local - 1)
+    local = table - dp_idx * p_local
+    ltable = jnp.where((local >= 0) & (local < p_local), local, 0)
     b = jnp.arange(q1.shape[0])
     pids = ltable[b, pos // psz]
     rows = pos % psz

@@ -160,18 +160,17 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array,
 
 def _rope(x: jax.Array, cfg: VocoderConfig) -> jax.Array:
     """Rotary embedding over (B, T, Hh, Dh), full head_dim, positions
-    0..T-1 (chunk decode is a full forward pass; no KV cache)."""
-    B, T, Hh, Dh = x.shape
-    half = Dh // 2
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32)
-                                    / half))
-    pos = jnp.arange(T, dtype=jnp.float32)
-    freqs = pos[:, None] * inv[None, :]                      # (T, half)
-    cos = jnp.cos(freqs)[None, :, None, :]
-    sin = jnp.sin(freqs)[None, :, None, :]
-    x1, x2 = x[..., :half], x[..., half:]
-    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
-                           axis=-1)
+    0..T-1 (chunk decode is a full forward pass; no KV cache). Delegates
+    to the framework's ONE RoPE implementation (transformer.rope_cos_sin
+    / apply_rope — bit-identical in fp32: a*cos + (-b)*sin == a*cos -
+    b*sin exactly) so the rotate_half convention cannot fork across
+    files (review finding; same rationale as the shared rms_norm)."""
+    from qwen3_tts_tpu.models.transformer import apply_rope, rope_cos_sin
+
+    T = x.shape[1]
+    cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), x.shape[-1],
+                            cfg.rope_theta)
+    return apply_rope(x, cos[None, :, None, :], sin[None, :, None, :])
 
 
 def _sliding_causal_mask(T: int, window: int) -> jax.Array:
@@ -448,7 +447,15 @@ def synthesize_chunked_context(
     assembly."""
     n_tokens = len(codes)
     spt = SAMPLES_PER_TOKEN
-    W = context_tokens + chunk_tokens + 1
+    # bucket the window width: decode_fn's contract is "any bucketed W"
+    # (synthesize_exact docstring), and the raw ctx+chunk+1 (90 at the
+    # defaults) is not a bucket — a caller keying compiled programs by
+    # VOC_BUCKETS would reject it, and a jitted fn pays a one-off
+    # width-90 compile mid-request. The extra rows are zero-code
+    # lookahead past la_end; the kept samples are positional
+    # ([ctx*spt : (ctx+m)*spt]) and causal, so they are unchanged
+    # (review finding).
+    W = voc_bucket(context_tokens + chunk_tokens + 1)
 
     jobs = []
     for cs in range(0, n_tokens, chunk_tokens):

@@ -292,3 +292,50 @@ def test_paged_never_fits_pool_raises(long_cfg_params):
     codes, audio = f_ok.result(timeout=1)
     assert len(audio) == len(codes) * 1920
     assert len(b._free_pages) == 2   # fully recycled
+
+
+def test_paged_local_table_guard_routes_bad_ids_to_sink():
+    """An out-of-range global page id in the table (allocation bug, or a
+    stale entry above the group's range) must route writes to the group's
+    reserved sink (local page 0), never to a live page. The pre-guard
+    code clipped to p_local-1, so an above-range id silently overwrote
+    another slot's newest KV page (round-3 review finding)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from qwen3_tts_tpu.parallel import mesh as pmesh
+
+    psz, p_local, Hq, Hkv, Dh = 4, 4, 2, 1, 8
+    B, maxp = 2, 3                       # one slot per dp group
+    mesh = pmesh.make_mesh(2, 1)
+    rng = np.random.default_rng(7)
+    q1 = jnp.asarray(rng.normal(size=(B, Hq, Dh)).astype(np.float32))
+    new_kv = jnp.asarray(rng.normal(size=(2, B, Hkv, Dh)).astype(np.float32))
+    pool = jnp.asarray(rng.normal(
+        size=(2, 2 * p_local, psz, Hkv, Dh)).astype(np.float32))
+    # slot 0 (group 0): healthy table inside [0, 4).
+    # slot 1 (group 1): current page id 13 is ABOVE every group's range.
+    table = jnp.asarray(np.array([[1, 2, 0], [13, 0, 0]], np.int32))
+    pos = jnp.array([5, 2], jnp.int32)   # slot0 -> page idx 1, row 1
+
+    fn = jax.shard_map(
+        partial(tfm._paged_write_attend_local, psz=psz, p_local=p_local),
+        mesh=mesh,
+        in_specs=(P("dp", "tp", None), P(None, "dp", "tp", None),
+                  P(None, "dp", None, "tp", None), P("dp", None), P("dp")),
+        out_specs=(P("dp", "tp"), P(None, "dp", None, "tp", None)),
+        check_vma=False)
+    attn, new_pool = fn(q1, new_kv, pool, table, pos)
+    new_pool = np.asarray(new_pool)
+
+    # slot 0's write landed at (global page 2, row 1)
+    np.testing.assert_array_equal(new_pool[:, 2, 1, 0],
+                                  np.asarray(new_kv[:, 0, 0]))
+    # slot 1's bad id landed in group 1's sink (global page 4, row 2) —
+    # NOT in group 1's last live page (global 7, where a clip sent it)
+    np.testing.assert_array_equal(new_pool[:, 4, 2, 0],
+                                  np.asarray(new_kv[:, 1, 0]))
+    untouched = np.asarray(pool)
+    for g_page in (5, 6, 7, 0, 1, 3):
+        np.testing.assert_array_equal(new_pool[:, g_page],
+                                      untouched[:, g_page])
+    assert np.isfinite(np.asarray(attn)).all()

@@ -115,21 +115,29 @@ def main(argv=None) -> int:
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        seed=args.seed, quantize=args.quantize,
                        params=preloaded)
-    with device_trace(args.profile):
-        if args.long:
-            if args.streaming:
-                print("note: --long emits audio per finished sentence; "
-                      "--streaming's intra-sentence head schedule does "
-                      "not apply")
-            res = engine.synthesize_long(text, language=args.language,
-                                         output=args.output, seed=args.seed,
-                                         prompt_dir=args.prompt_dir)
-        else:
-            res = engine.synthesize(text, language=args.language,
-                                    output=args.output,
-                                    streaming=args.streaming,
-                                    seed=args.seed,
-                                    prompt_dir=args.prompt_dir)
+    try:
+        with device_trace(args.profile):
+            if args.long:
+                if args.streaming:
+                    print("note: --long emits audio per finished "
+                          "sentence; --streaming's intra-sentence head "
+                          "schedule does not apply")
+                res = engine.synthesize_long(text, language=args.language,
+                                             output=args.output,
+                                             seed=args.seed,
+                                             prompt_dir=args.prompt_dir)
+            else:
+                res = engine.synthesize(text, language=args.language,
+                                        output=args.output,
+                                        streaming=args.streaming,
+                                        seed=args.seed,
+                                        prompt_dir=args.prompt_dir)
+    except ValueError as e:
+        # client-fixable request errors (unsupported language, cloned
+        # text overflowing the prefix, bad prompt_dir): a clean message,
+        # not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if res.n_tokens == 0:
         print("No tokens generated!")
         return 1

@@ -480,6 +480,57 @@ class TTSEngine:
         padded[:n] = ids[:b]
         return jnp.asarray(padded), jnp.int32(min(n, b))
 
+    def _text_cap(self) -> int:
+        """Largest usable text-token bucket (same clamp as _encode_text):
+        the bound long-mode piece budgets must respect."""
+        from qwen3_tts_tpu.models.talker import PREFIX_EXTRA
+        limit = self.cfg.talker.max_seq_len - PREFIX_EXTRA
+        fits = [bk for bk in _TEXT_BUCKETS if bk <= limit]
+        return fits[-1] if fits else max(limit, 1)
+
+    def _encode_cloned(self, text: str, ref_text: str):
+        """Tokenize a voice-cloned request: ids over ``ref_text + ' ' +
+        text`` (the in-context conditioning layout,
+        models/talker.build_prefix_cloned), pacing target = the TARGET
+        text's own token count. ONE implementation shared by
+        engine.synthesize and both daemon batched tiers.
+
+        Raises ValueError when the combined text overflows the prefix
+        bucket: _encode_text keeps the HEAD on overflow (the ref
+        transcript), so silent truncation would cut the *target* tail
+        while EOS pacing still budgets for it — the request would return
+        audio that never speaks most of the target with no client-visible
+        signal (review finding). Returns (ids, n_text, n_target)."""
+        full = (ref_text + " " + text).strip() if ref_text else text
+        text_ids, n_text = self._encode_text(full)
+        n_full = len(self.tokenizer.encode(full, add_special_tokens=False))
+        if n_full > int(n_text):
+            raise ValueError(
+                f"voice-cloned text overflows the prefix: reference "
+                f"transcript + target encode to {n_full} tokens but the "
+                f"prefix holds {int(n_text)} "
+                f"(max_seq_len={self.cfg.talker.max_seq_len}); shorten "
+                f"the reference transcript or use synthesize_long/--long")
+        n_target = min(len(self.tokenizer.encode(
+            text, add_special_tokens=False)), int(n_text))
+        return text_ids, n_text, n_target
+
+    def _cloned_piece_budget(self, budget: int, ref_text: str) -> int:
+        """Tighten a long-mode piece budget so ref transcript + piece fit
+        the text bucket (margin 2: separator + BPE boundary effects; a
+        residual overflow still fails loudly in _encode_cloned). Raises
+        when the transcript alone leaves no room — every piece would
+        fail, so fail once with the real cause."""
+        n_ref = len(self.tokenizer.encode(ref_text,
+                                          add_special_tokens=False))
+        room = self._text_cap() - n_ref - 2
+        if room < 2:
+            raise ValueError(
+                f"reference transcript is too long for voice cloning: "
+                f"{n_ref} tokens of a {self._text_cap()}-token prefix "
+                f"budget; re-encode the prompt with a shorter ref_text")
+        return max(2, min(budget, room))
+
     def synthesize(self, text: str, language: str = "russian",
                    output: Optional[str] = None, streaming: bool = False,
                    seed: int = 0,
@@ -529,11 +580,9 @@ class TTSEngine:
             prompt = None
             if prompt_dir is not None:
                 ref_codes_np, ref_text = self._load_prompt(prompt_dir)
-                full = (ref_text + " " + text).strip() if ref_text else text
-                text_ids, n_text = self._encode_text(full)
-                n_target = len(self.tokenizer.encode(
-                    text, add_special_tokens=False))
-                prompt = (ref_codes_np, min(n_target, int(n_text)))
+                text_ids, n_text, n_target = self._encode_cloned(text,
+                                                                 ref_text)
+                prompt = (ref_codes_np, n_target)
             else:
                 text_ids, n_text = self._encode_text(text)
             # host copy, fetched while the device queue is empty (a
@@ -571,16 +620,23 @@ class TTSEngine:
         first_audio_t: Optional[float] = None
         t_start = time.perf_counter()
 
-        if not streaming and self._chained_vocode and budget_cap <= 256:
+        # the chain is gated on the WINDOW, not the raw budget: the
+        # window is bounded by the EOS-pacing cap (force at progress >
+        # 2.0 guarantees n <= 6*n_text + 1), so a short text under a
+        # large max_tokens config still gets the chained fast path
+        # (gating on budget_cap <= 256 disabled it there — review
+        # finding); windows past the largest bucket would compile a
+        # fresh vocoder program per 64-aligned width, so those fall back
+        # to the fetch-then-chunk path.
+        chained_W = _chained_voc_window(budget_cap, pace_n,
+                                        self.cfg.sampling)
+        if (not streaming and self._chained_vocode
+                and chained_W <= voc.VOC_BUCKETS[-1]):
             # chained dispatch (see __init__): decode program, then the
             # vocoder immediately on the device codes; the status/codes
-            # round trips overlap the vocoder's execution. The window is
-            # bounded by the EOS-pacing cap (force at progress > 2.0
-            # guarantees n <= 6*n_text + 1), so short texts decode a
-            # narrower window.
+            # round trips overlap the vocoder's execution.
             with timer.stage("decode+vocoder"):
-                W = _chained_voc_window(budget_cap, pace_n,
-                                        self.cfg.sampling)
+                W = chained_W
                 st0, state = _prefill_fused(key, jnp.int32(budget_cap))
                 if st0 is None:  # cache hit / prompt / disk path
                     state = self._decode_pipelined(tp, cpp, state,
@@ -924,6 +980,13 @@ class TTSEngine:
             raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
         from qwen3_tts_tpu.utils.text import piece_token_budget
         budget = piece_token_budget(self.cfg.max_tokens, max_tokens)
+        if prompt_dir is not None:
+            # every cloned piece is prefixed by the ref transcript, so
+            # the split budget must leave room for it in the text bucket
+            # (otherwise each piece would overflow-fail in
+            # _encode_cloned — review finding)
+            _, _ref_text = self._load_prompt(prompt_dir)
+            budget = self._cloned_piece_budget(budget, _ref_text)
         pieces = split_for_budget(
             text, lambda s: len(
                 self.tokenizer.encode(s, add_special_tokens=False)),

@@ -290,20 +290,21 @@ class TTSDaemon:
                 # would double-count in handle()'s catch-all
         return None
 
-    def _encode_with_prompt(self, text: str, prompt_dir):
+    def _encode_with_prompt(self, text: str, prompt_dir, preloaded=None):
         """Tokenize a (possibly voice-cloned) batched request the same
-        way the engine's prompt_dir path does (engine.synthesize):
+        way the engine's prompt_dir path does (engine._encode_cloned —
+        one shared implementation, so the overflow rule cannot fork):
         returns (ids, n_text, ref_codes | None, n_target | None) for
-        ContinuousBatcher.submit. Raises ValueError on a bad prompt_dir
-        (client-fixable)."""
-        if not prompt_dir:
+        ContinuousBatcher.submit. ``preloaded``: an already-loaded
+        (ref_codes, ref_text) pair (the long handler loads once for all
+        pieces). Raises ValueError on a bad prompt_dir or a combined
+        text that overflows the prefix bucket (client-fixable)."""
+        if not prompt_dir and preloaded is None:
             ids, n_text = self.engine._encode_text(text)
             return ids, n_text, None, None
-        ref_codes, ref_text = self.engine._load_prompt(prompt_dir)
-        full = (ref_text + " " + text).strip() if ref_text else text
-        ids, n_text = self.engine._encode_text(full)
-        n_target = min(len(self.engine.tokenizer.encode(
-            text, add_special_tokens=False)), int(n_text))
+        ref_codes, ref_text = (preloaded if preloaded is not None
+                               else self.engine._load_prompt(prompt_dir))
+        ids, n_text, n_target = self.engine._encode_cloned(text, ref_text)
         return ids, n_text, ref_codes, n_target
 
     def _handle_batched(self, msg, text: str, mt=None,
@@ -325,7 +326,12 @@ class TTSDaemon:
             self.stats.record_error()
             hdr = {"error": message}
             if send_frame is not None:
-                send_frame(encode_response({"done": True, **hdr}, None))
+                try:
+                    send_frame(encode_response({"done": True, **hdr},
+                                               None))
+                except OSError:
+                    pass  # dead client: already counted — an escaping
+                    # raise would double-count in handle()'s catch-all
                 return None
             return encode_response(hdr, None)
 
@@ -460,45 +466,55 @@ class TTSDaemon:
         from qwen3_tts_tpu.utils.text import piece_token_budget
         budget = piece_token_budget(self.engine.cfg.max_tokens, mt)
         tok = self.engine.tokenizer
+
+        def _fail(message: str) -> Optional[bytes]:
+            self.stats.record_error()
+            hdr = {"error": message}
+            if send_frame is not None:
+                try:
+                    send_frame(encode_response({"done": True, **hdr},
+                                               None))
+                except OSError:
+                    pass   # dead client: already counted
+                return None
+            return encode_response(hdr, None)
+
+        # prompt_dir (voice cloning) applies to EVERY piece — the
+        # engine's synthesize_long contract. Load + validate ONCE, before
+        # splitting: the split budget must leave room for the ref
+        # transcript in each piece's prefix bucket (engine
+        # _cloned_piece_budget — otherwise every piece would overflow),
+        # and a per-piece load would re-read the npy 20x for a
+        # 20-sentence paragraph (review findings)
+        prompt_dir = msg.get("prompt_dir")
+        preloaded = None
+        if prompt_dir:
+            try:
+                preloaded = self.engine._load_prompt(prompt_dir)
+                budget = self.engine._cloned_piece_budget(budget,
+                                                          preloaded[1])
+            except ValueError as e:
+                return _fail(str(e))
         pieces = split_for_budget(
             text, lambda s: len(tok.encode(s, add_special_tokens=False)),
             budget) or [text]
-        # prompt_dir (voice cloning) applies to EVERY piece — the
-        # engine's synthesize_long contract. Load + validate ONCE, before
-        # any piece submits: a per-piece load would re-read the npy 20x
-        # for a 20-sentence paragraph, and a mid-loop failure would leave
-        # earlier pieces decoding for nobody (review findings)
-        prompt_dir = msg.get("prompt_dir")
-        ref_codes = ref_text = None
-        if prompt_dir:
-            try:
-                ref_codes, ref_text = self.engine._load_prompt(prompt_dir)
-            except ValueError as e:
-                self.stats.record_error()
-                hdr = {"error": str(e)}
-                if send_frame is not None:
-                    try:
-                        send_frame(encode_response({"done": True, **hdr},
-                                                   None))
-                    except OSError:
-                        pass   # dead client: already counted
-                    return None
-                return encode_response(hdr, None)
         futs = []
-        for i, p in enumerate(pieces):
-            if ref_codes is not None:
-                full = (ref_text + " " + p).strip() if ref_text else p
-                ids, n = self.engine._encode_text(full)
-                n_target = min(len(self.engine.tokenizer.encode(
-                    p, add_special_tokens=False)), int(n))
+        try:
+            for i, p in enumerate(pieces):
+                ids, n, ref_codes, n_target = self._encode_with_prompt(
+                    p, prompt_dir, preloaded=preloaded)
                 futs.append(self.batcher.submit(
                     np.asarray(ids), int(n), seed=seed + i, max_tokens=mt,
                     ref_codes=ref_codes, n_target=n_target))
-            else:
-                ids, n = self.engine._encode_text(p)
-                futs.append(self.batcher.submit(np.asarray(ids), int(n),
-                                                seed=seed + i,
-                                                max_tokens=mt))
+        except ValueError as e:
+            # a piece that still overflows (BPE boundary edge past the
+            # split margin): withdraw the already-submitted pieces so
+            # they don't decode for nobody, then reject
+            for f in futs:
+                r = getattr(f, "request", None)
+                if r is not None and not f.done():
+                    r.cancelled = True
+            return _fail(str(e))
         parts_codes, parts_audio = [], []
         first_audio = None
         idx = 0

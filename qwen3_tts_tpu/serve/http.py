@@ -224,7 +224,13 @@ class _Handler(BaseHTTPRequestHandler):
                 self.log_error("stream aborted: %s", err[0])
                 self.close_connection = True
                 return None
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                self.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                # client vanished mid-stream: the daemon layer already
+                # swallowed its send failure — an escaping raise here
+                # would traceback-spam the server log per dead client
+                self.close_connection = True
             return None
 
         payload = self.daemon_ref.handle(raw)
@@ -275,15 +281,22 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.flush()
 
             resp = self.daemon_ref.handle(raw, send_frame)
-            if resp is not None:
-                # early failures (empty text, bad params) come back as a
-                # blob instead of through send_frame — forward it as the
-                # stream's terminal done-frame so HTTP clients see the
-                # error rather than a clean empty stream (review finding)
-                from qwen3_tts_tpu.serve.daemon import encode_response
-                header, _ = decode_response(resp)
-                send_frame(encode_response({"done": True, **header}, None))
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                if resp is not None:
+                    # early failures (empty text, bad params) come back
+                    # as a blob instead of through send_frame — forward
+                    # as the stream's terminal done-frame so HTTP clients
+                    # see the error rather than a clean empty stream
+                    # (review finding)
+                    from qwen3_tts_tpu.serve.daemon import encode_response
+                    header, _ = decode_response(resp)
+                    send_frame(encode_response({"done": True, **header},
+                                               None))
+                self.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                # dead mid-stream client: daemon already treated it as
+                # handled — don't let the terminator write traceback
+                self.close_connection = True
             return None
 
         payload = self.daemon_ref.handle(raw)

@@ -269,3 +269,67 @@ def test_dense_cloned_boundary_fails_cleanly(setup):
         b.step()
     with pytest.raises(ValueError, match="exceeds the dense KV"):
         f.result(timeout=1)
+
+
+def test_cloned_overflow_raises_not_truncates(setup, tmp_path):
+    """ref transcript + target text past the prefix bucket must raise a
+    client-fixable ValueError: head-kept truncation would drop the
+    TARGET tail while EOS pacing still budgets for it — wrong audio
+    with no signal (round-3 review finding)."""
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+    d = tmp_path / "pov"
+    d.mkdir()
+    codes = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(5), (6, 16), 0, V, jnp.int32))
+    np.save(d / "ref_codec_tokens.npy", codes.astype(np.int64))
+    # byte-fallback tokenizer: ~1 token/char; tiny cap = 64 text tokens
+    (d / "ref_text.txt").write_text("r" * 100)
+    with pytest.raises(ValueError, match="overflows the prefix"):
+        eng.synthesize("target words here", language="english",
+                       prompt_dir=str(d))
+    # synthesize_long refuses up front: the transcript alone leaves no
+    # room for any piece
+    with pytest.raises(ValueError, match="too long for voice cloning"):
+        eng.synthesize_long("target words here", language="english",
+                            prompt_dir=str(d))
+
+
+def test_cloned_overflow_rejected_by_daemon(setup, tmp_path):
+    """The batched daemon surfaces the cloned-overflow error to the
+    client (blob header + stream done-frame), for both the plain and
+    --long batched paths."""
+    import json
+
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+    from qwen3_tts_tpu.serve.daemon import TTSDaemon, decode_response
+
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+    d = tmp_path / "pd"
+    d.mkdir()
+    codes = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(6), (6, 16), 0, V, jnp.int32))
+    np.save(d / "ref_codec_tokens.npy", codes.astype(np.int64))
+    (d / "ref_text.txt").write_text("q" * 100)
+
+    batcher = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                                dtype=jnp.float32)
+    daemon = TTSDaemon(eng, str(tmp_path / "t.sock"), batcher=batcher)
+    # rejections return synchronously from handle() — no serve loop needed
+    for extra in ({}, {"long": True}):
+        req = json.dumps({"text": "target words", "prompt_dir": str(d),
+                          **extra}).encode()
+        resp = daemon.handle(req)
+        header, _ = decode_response(resp)
+        assert "error" in header, header
+        assert ("overflows the prefix" in header["error"]
+                or "too long for voice cloning" in header["error"])
+        frames = []
+        daemon.handle(json.dumps(
+            {"text": "target words", "prompt_dir": str(d),
+             "stream": True, **extra}).encode(), frames.append)
+        hdr, _ = decode_response(frames[-1])
+        assert hdr.get("done") and "error" in hdr

@@ -215,3 +215,18 @@ def test_synthesize_batch_empty_and_shared_timings(engine):
     for r in res:
         assert "vocoder" in r.timings and "decode" in r.timings
     assert res[0].total_seconds == res[1].total_seconds
+
+
+def test_chained_gate_uses_window_not_budget(tmp_path):
+    """A short text under a LARGE max_tokens config must keep the
+    chained decode+vocoder fast path: the gate is the pacing-bound
+    window (<= largest vocoder bucket), not budget_cap <= 256 (round-3
+    review finding). Observable via the stage names: the chained path
+    records one fused 'decode+vocoder' stage, the fallback separate
+    'decode' and 'vocoder' stages."""
+    eng = TTSEngine(tiny_tts_config(max_tokens=400), model_dir=None,
+                    dtype=jnp.float32)
+    res = eng.synthesize("hi", language="english", seed=0)
+    assert res.n_tokens > 0
+    assert "decode+vocoder" in res.timings, res.timings
+    assert "vocoder" not in res.timings, res.timings

@@ -14,7 +14,15 @@ NEG = -1e30
 
 
 def rms(x, w, eps):
-    """RMSNorm rows of x (.., D) in f32; returns f32."""
+    """RMSNorm rows of x (.., D) in f32; returns f32.
+
+    Deliberately NOT the HF cast order (transformer.rms_norm rounds the
+    normalized x to the input dtype BEFORE the weight multiply,
+    modeling_qwen3 semantics): in-kernel everything stays f32 until the
+    caller casts, which differs from the XLA path by <= 1 bf16 ulp per
+    element in favor of MORE precision. Kernel-vs-XLA parity tests
+    carry tolerances for this; the kernels' int8 weight quantization is
+    the far larger deviation."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)

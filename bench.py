@@ -47,7 +47,30 @@ def main() -> int:
     from qwen3_tts_tpu.config import TTSConfig
     from qwen3_tts_tpu.engine.engine import TTSEngine
 
-    log(f"device: {jax.devices()[0]} ({jax.default_backend()})")
+    # time-bounded backend probe: with the tunneled TPU unreachable,
+    # backend init can hang indefinitely (TCP connects, setup never
+    # completes) — fail fast with a diagnostic instead of wedging the
+    # driver's bench step. os._exit avoids interpreter-teardown races
+    # with the still-hung init thread.
+    import threading
+    probed: list = []
+
+    def _probe() -> None:
+        try:
+            probed.append(jax.devices()[0])
+        except Exception as e:   # backend errored (e.g. UNAVAILABLE)
+            probed.append(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(180.0)
+    if not probed or isinstance(probed[0], Exception):
+        reason = (f"init failed: {probed[0]}" if probed
+                  else "init did not complete in 180 s (TPU tunnel down?)")
+        log(f"FATAL: JAX backend {reason}")
+        sys.stderr.flush()
+        os._exit(2)
+    log(f"device: {probed[0]} ({jax.default_backend()})")
 
     t0 = time.perf_counter()
     # default int8: weight-only int8 talker+CP through the Pallas dequant

@@ -333,3 +333,47 @@ def test_cloned_overflow_rejected_by_daemon(setup, tmp_path):
              "stream": True, **extra}).encode(), frames.append)
         hdr, _ = decode_response(frames[-1])
         assert hdr.get("done") and "error" in hdr
+
+
+def test_cloned_long_batched_success(setup, tmp_path):
+    """A fitting voice-cloned --long request through the batched daemon:
+    pieces split under the ref-tightened budget, every piece decodes with
+    the prompt conditioning, audio stitches in order (the restructured
+    _handle_batched_long path, round-3 review)."""
+    import json
+    import os
+    import threading
+    import time
+
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+    from qwen3_tts_tpu.serve.daemon import DaemonClient, TTSDaemon
+
+    cfg, params = setup
+    eng = TTSEngine(cfg, model_dir=None, dtype=jnp.float32, params=params)
+    V = cfg.code_predictor.group_vocab_size
+    d = tmp_path / "plong"
+    d.mkdir()
+    codes = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(9), (6, 16), 0, V, jnp.int32))
+    np.save(d / "ref_codec_tokens.npy", codes.astype(np.int64))
+    (d / "ref_text.txt").write_text("refvoice")
+
+    sock = str(tmp_path / "tts_cl.sock")
+    batcher = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                                dtype=jnp.float32)
+    daemon = TTSDaemon(eng, sock, batcher=batcher)
+    t = threading.Thread(target=daemon.serve, daemon=True)
+    t.start()
+    while not os.path.exists(sock):
+        time.sleep(0.05)
+    try:
+        cl = DaemonClient(sock)
+        hdr, audio = cl.synthesize("Ab cd. Ef gh.", language="english",
+                                   seed=3, long=True, prompt_dir=str(d))
+        assert "error" not in hdr, hdr
+        assert hdr["n_sentences"] >= 2
+        assert hdr["n_tokens"] > 0
+        assert len(audio) == hdr["n_samples"] == hdr["n_tokens"] * 1920
+    finally:
+        daemon.stop()
+        t.join(timeout=10)

@@ -147,12 +147,9 @@ def test_batched_prompt_matches_engine(setup, tmp_path, paged):
                          prompt_dir=str(d))
     assert res.n_tokens > 0
 
-    # the daemon's _encode_with_prompt construction, inlined
+    # the daemon's _encode_with_prompt construction (shared helper)
     ref_codes, ref_text = eng._load_prompt(str(d))
-    full = (ref_text + " " + "clone batched").strip()
-    ids, n_text = eng._encode_text(full)
-    n_target = min(len(eng.tokenizer.encode(
-        "clone batched", add_special_tokens=False)), int(n_text))
+    ids, n_text, n_target = eng._encode_cloned("clone batched", ref_text)
 
     # quantize_cp=False: the engine reference runs the float32 CP, so the
     # batcher must too for bit parity

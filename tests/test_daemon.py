@@ -499,3 +499,31 @@ def test_batched_stream_dead_client_cancels(engine, tmp_path):
         assert len(audio) == len(codes) * 1920
     finally:
         batcher.stop()
+
+
+def test_reject_dead_stream_client_counts_one_error(engine):
+    """A validation rejection whose stream client already disconnected
+    must record exactly ONE error: _reject swallows the send failure
+    instead of letting it re-enter handle()'s catch-all, which counted a
+    second error and attempted a second done-frame (round-3 review)."""
+    import json
+
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+    from qwen3_tts_tpu.serve.daemon import TTSDaemon
+
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32)
+    daemon = TTSDaemon(engine, "/tmp/unused_reject.sock", batcher=batcher)
+    sends = []
+
+    def dead_send(frame: bytes) -> None:
+        sends.append(frame)
+        raise BrokenPipeError("client went away")
+
+    before = daemon.stats.snapshot()["errors"]
+    out = daemon.handle(json.dumps(
+        {"text": "hi", "language": "klingon", "stream": True}).encode(),
+        dead_send)
+    assert out is None
+    assert len(sends) == 1                       # no second done-frame
+    assert daemon.stats.snapshot()["errors"] == before + 1

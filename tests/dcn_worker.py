@@ -1,0 +1,102 @@
+"""Worker process for the two-process DCN integration test
+(test_multihost.test_two_process_dcn_integration — launched as a
+subprocess, NOT collected by pytest).
+
+Each process: 4 virtual CPU devices; jax.distributed over the gloo CPU
+collectives backend; the framework's own init path
+(multihost.init_distributed from QWEN3_TTS_* env) and serving mesh
+(make_serving_mesh: tp confined to one process, dp host-major); then the
+REAL fused prefill+decode program (engine/generate.run_steps) jitted
+over the global 2x4 mesh — cross-process dp, in-process tp collectives —
+exactly the placement rule the module documents.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+import jax.numpy as jnp
+
+from qwen3_tts_tpu import config as C
+from qwen3_tts_tpu.engine import generate as gen
+from qwen3_tts_tpu.io import weights as weights_io
+from qwen3_tts_tpu.models import talker as tk
+from qwen3_tts_tpu.parallel import mesh as pmesh
+from qwen3_tts_tpu.parallel import multihost as mh
+
+
+def main() -> None:
+    import os
+
+    # shared persistent compile cache (same store as the suite) so the
+    # two processes' identical programs compile once across re-runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    assert mh.init_distributed(), "QWEN3_TTS_* env must trigger init"
+    pid = jax.process_index()
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+    print(f"p{pid} init ok", flush=True)
+
+    mesh = mh.make_serving_mesh(tp=4)
+    # the placement rule the module exists for: a tp row never crosses a
+    # process boundary (tp collectives must ride intra-host links)
+    for dp_row in mesh.devices:
+        assert len({d.process_index for d in dp_row}) == 1
+    print(f"p{pid} mesh ok dp{mesh.shape['dp']}xtp{mesh.shape['tp']}",
+          flush=True)
+
+    talker = C.TalkerConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16,
+        text_vocab_size=151936, text_embed_dim=64, codec_vocab_size=3072,
+        max_seq_len=64)
+    cp = C.CodePredictorConfig(
+        num_layers=2, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=16)
+    cfg = dataclasses.replace(C.tiny_tts_config(max_tokens=4),
+                              talker=talker, code_predictor=cp)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    sharded = pmesh.shard_params(
+        mesh, {"talker": params["talker"],
+               "code_predictor": params["code_predictor"]})
+    tkp, cpp = sharded["talker"], sharded["code_predictor"]
+
+    from jax.sharding import NamedSharding
+    B = 2 * mesh.shape["dp"]
+    ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (B, 1))
+    n_text = jnp.full((B,), 5, jnp.int32)
+    state_spec = pmesh.gen_state_spec(cfg)
+    state_shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), state_spec,
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+
+    @jax.jit
+    def prefill_and_step(tkp, cpp, ids, n_text, key):
+        prefix, plen = jax.vmap(
+            lambda i, n: tk.build_prefix(tkp, i, n))(ids, n_text)
+        state = gen.init_state(tkp, prefix, plen, n_text, key, cfg)
+        state = jax.lax.with_sharding_constraint(state, state_shardings)
+        state = gen.run_steps(tkp, cpp, state, cfg, max_steps=2)
+        return state.codes, state.n_codes
+
+    with mesh:
+        codes, n_codes = prefill_and_step(tkp, cpp, ids, n_text,
+                                          jax.random.PRNGKey(0))
+        from jax.experimental import multihost_utils
+        n_all = multihost_utils.process_allgather(n_codes, tiled=True)
+        codes_all = multihost_utils.process_allgather(codes, tiled=True)
+    n_all = np.asarray(n_all)
+    codes_all = np.asarray(codes_all)
+    assert codes_all.shape == (B, cfg.max_tokens, 16)
+    assert (codes_all[:, :2] < cfg.code_predictor.group_vocab_size).all()
+    print(f"pRESULT {pid} n_codes={n_all.tolist()} "
+          f"codes_sum={int(codes_all.sum())}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,57 @@ def test_serving_mesh_drives_sharded_batcher():
             b.step()
         codes, audio = fut.result(timeout=1)
     assert len(audio) == len(codes) * 1920
+
+
+def test_two_process_dcn_integration():
+    """REAL multi-process DCN: two OS processes (4 virtual CPU devices
+    each, gloo collectives) initialize through init_distributed's
+    QWEN3_TTS_* env surface, build the serving mesh (tp confined per
+    process), shard the params globally, and run the fused
+    prefill+decode program SPMD across processes (tests/dcn_worker.py).
+    Upgrades this module's coverage from single-process placement math
+    to actual cross-process execution."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid: int) -> dict:
+        env = dict(os.environ)
+        # clean JAX env: drop the axon sitecustomize (pins the platform
+        # at interpreter start) and force a 4-device CPU backend
+        env["PYTHONPATH"] = repo
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["QWEN3_TTS_COORDINATOR"] = f"localhost:{port}"
+        env["QWEN3_TTS_NUM_PROCESSES"] = "2"
+        env["QWEN3_TTS_PROCESS_ID"] = str(pid)
+        return env
+
+    worker = os.path.join(repo, "tests", "dcn_worker.py")
+    procs = [subprocess.Popen([sys.executable, worker], env=env_for(pid),
+                              cwd=repo, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    results = sorted(l for out in outs for l in out.splitlines()
+                     if l.startswith("pRESULT"))
+    assert len(results) == 2, outs
+    # both processes observed the SAME global decode result
+    assert results[0].split(" ", 2)[2] == results[1].split(" ", 2)[2], results
+    assert "n_codes=[2, 2, 2, 2]" in results[0], results

@@ -62,10 +62,50 @@ def init_distributed(coordinator: Optional[str] = None,
             f"QWEN3_TTS_NUM_PROCESSES={num_processes} but no coordinator "
             "address: set QWEN3_TTS_COORDINATOR=host:port (or pass "
             "coordinator=)")
+    # Generous timeouts by default: first-run XLA compiles on a cold
+    # machine take minutes and are NOT synchronized across processes, so
+    # the default 300 s init/shutdown barriers are routinely blown by
+    # compile skew (round-3 flake: one worker finished while the other
+    # was still compiling, shutdown barrier saw 1/2 tasks). Env-tunable
+    # like the rest of the QWEN3_TTS_* surface.
+    init_timeout = int(os.environ.get("QWEN3_TTS_DIST_INIT_TIMEOUT", "900"))
+    shutdown_timeout = int(
+        os.environ.get("QWEN3_TTS_DIST_SHUTDOWN_TIMEOUT", "900"))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=init_timeout,
+                               shutdown_timeout_seconds=shutdown_timeout)
     return True
+
+
+def barrier(name: str, timeout_s: float = 900.0) -> None:
+    """Block until every process reaches this barrier (coordination
+    service, gRPC — NOT a device collective).
+
+    Use this to fence phases whose duration varies wildly per process
+    (cold XLA compiles run minutes and are unsynchronized): a device
+    collective (``multihost_utils.sync_global_devices``) would itself
+    sit in a gloo/ICI collective whose transport timeout the skew can
+    blow, while the coordination-service barrier waits the full
+    ``timeout_s`` regardless of transport. No-op single-process."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # single-process: nothing to synchronize
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
+def shutdown_distributed() -> None:
+    """Explicitly tear down jax.distributed (idempotent, single-process
+    safe). Call after a final ``barrier()`` so no process exits while a
+    peer still needs the coordination service."""
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is None:
+        return
+    jax.distributed.shutdown()
 
 
 def make_serving_mesh(tp: int,

@@ -30,9 +30,11 @@ def main() -> None:
     import os
 
     # shared persistent compile cache (same store as the suite) so the
-    # two processes' identical programs compile once across re-runs
+    # two processes' identical programs compile once across re-runs;
+    # QWEN3_TTS_TEST_CACHE_DIR overrides for deliberate cold-cache runs
     jax.config.update(
         "jax_compilation_cache_dir",
+        os.environ.get("QWEN3_TTS_TEST_CACHE_DIR") or
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache_cpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -85,8 +87,18 @@ def main() -> None:
         return state.codes, state.n_codes
 
     with mesh:
-        codes, n_codes = prefill_and_step(tkp, cpp, ids, n_text,
-                                          jax.random.PRNGKey(0))
+        # AOT-compile BEFORE any cross-process execution, then fence on
+        # the coordination-service barrier: cold compiles run minutes and
+        # are unsynchronized across processes, and a process that starts
+        # executing (blocking in a gloo collective) while its peer still
+        # compiles blows the transport timeout (round-3 flake). The
+        # coordination barrier waits the full timeout regardless.
+        key = jax.random.PRNGKey(0)
+        compiled = prefill_and_step.lower(tkp, cpp, ids, n_text,
+                                          key).compile()
+        print(f"p{pid} compiled", flush=True)
+        mh.barrier("dcn_worker_compiled", timeout_s=900)
+        codes, n_codes = compiled(tkp, cpp, ids, n_text, key)
         from jax.experimental import multihost_utils
         n_all = multihost_utils.process_allgather(n_codes, tiled=True)
         codes_all = multihost_utils.process_allgather(codes, tiled=True)
@@ -96,6 +108,10 @@ def main() -> None:
     assert (codes_all[:, :2] < cfg.code_predictor.group_vocab_size).all()
     print(f"pRESULT {pid} n_codes={n_all.tolist()} "
           f"codes_sum={int(codes_all.sum())}", flush=True)
+    # explicit final fence + shutdown: never rely on the atexit barrier
+    # (its skew budget is the whole reason this worker fences phases)
+    mh.barrier("dcn_worker_done", timeout_s=900)
+    mh.shutdown_distributed()
 
 
 if __name__ == "__main__":

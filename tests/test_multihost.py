@@ -141,7 +141,10 @@ def test_two_process_dcn_integration():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # generous: BOTH processes cold-compile in parallel (minutes
+            # on CPU); the worker's coordination-service barriers absorb
+            # any skew between them, so only the sum matters here
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:

@@ -36,6 +36,7 @@ from qwen3_tts_tpu.engine import generate as gen
 from qwen3_tts_tpu.models import talker as tk
 from qwen3_tts_tpu.models import transformer as tfm
 from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.models import vocoder_stream as vstream
 from qwen3_tts_tpu.ops import sampling as smp
 
 
@@ -75,9 +76,15 @@ class _Request:
         # Runs on the SCHEDULER thread — it must not block (queue the
         # segment and return; serve/daemon._handle_batched does this)
         self.on_chunk = on_chunk
-        self.rendered = 0              # tokens whose audio was emitted
+        self.rendered = 0              # code frames fed to the stream
         self.audio_parts: List[np.ndarray] = []
         self.stream_error: Optional[BaseException] = None
+        # incremental vocoder stream (models/vocoder_stream.py): device
+        # state pytree, created at the first emission, advanced per
+        # chunk; stream_kept counts samples emitted so far (the stream
+        # runs output_crop samples behind rendered*1920 by design)
+        self.voc_stream = None
+        self.stream_kept = 0
         self.future: Future = Future()
         # latency instrumentation (tools/dev/bench_serving.py): queue wait
         # = t_admit - t_submit; admission -> first token = t_first -
@@ -440,6 +447,40 @@ class ContinuousBatcher:
                            cfg.vocoder))
 
         self._voc_slot = jax.jit(_voc_slot_fn, static_argnames=("W",))
+        # incremental streaming vocoder step programs, keyed by
+        # (chunk_frames, primed) — built lazily (_stream_step_fn)
+        self._stream_steps = {}
+
+    # fixed streaming-step chunk sizes: arbitrary emission extents are
+    # decomposed greedily into these, so the whole serving lifetime uses
+    # at most len(sizes) x 2 compiled programs per geometry
+    STREAM_STEP_SIZES = (64, 32, 16, 8)
+
+    def _stream_step_fn(self, c: int, primed: bool):
+        """Jitted incremental vocoder step: slice ``c`` code frames from a
+        slot's codes row at a runtime ``start``, advance the stream state,
+        return int16 samples. The row is zero-extended before the slice so
+        a flush step may read past the utterance end (zero-code lookahead
+        — the synthesize_exact contract) without dynamic_slice clamping
+        into real rows."""
+        key = (c, primed)
+        fn = self._stream_steps.get(key)
+        if fn is None:
+            cfg_v = self.cfg.vocoder
+            pad = max(self.STREAM_STEP_SIZES)
+
+            def step(vp, codes_row, start, st):
+                padded = jnp.concatenate(
+                    [codes_row.astype(jnp.int32),
+                     jnp.zeros((pad, codes_row.shape[-1]), jnp.int32)])
+                chunk = jax.lax.dynamic_slice_in_dim(padded, start, c,
+                                                     axis=0)[None]
+                audio, st2 = vstream.stream_step(vp, st, chunk, cfg_v,
+                                                 primed=primed)
+                return voc.to_int16_device(audio), st2
+
+            fn = self._stream_steps[key] = jax.jit(step)
+        return fn
 
     # -- public API ---------------------------------------------------------
 
@@ -455,12 +496,13 @@ class ContinuousBatcher:
         ``on_chunk``: streaming — called FROM THE SCHEDULER THREAD (it
         must queue and return, never block) with each new int16 audio
         segment once its tokens are final, paced at >= 48 new tokens per
-        emission (final segment always flushes). Segments are conv-exact
-        full-left-context windows, so their concatenation is
-        sample-identical to the non-streaming result (the same contract
-        as the engine's streaming mode). Batched streaming is a
-        capability the reference does not have at all (its streaming is
-        single-request, client-internal; tts_client.py:189-197).
+        emission (final segment always flushes). Segments come from the
+        incremental vocoder stream (models/vocoder_stream.py) — O(new
+        tokens) per emission even for long paged requests — and their
+        concatenation equals the non-streaming result within the stream's
+        contract (int16 +-1 LSB on < 0.01% of samples). Batched streaming
+        is a capability the reference does not have at all (its streaming
+        is single-request, client-internal; tts_client.py:189-197).
 
         ``ref_codes`` + ``n_target``: voice cloning — ``text_ids`` must
         hold ref_text ++ target_text, ``ref_codes`` the (R, 16) reference
@@ -909,49 +951,89 @@ class ContinuousBatcher:
                 jnp.asarray(pages), jnp.asarray(valid))
 
     # minimum new tokens per streaming emission while a slot is live
-    # (the final emission always flushes). Full-left-context windows make
-    # per-window cost O(end), so emitting every decode chunk would make a
-    # request's total vocoder work ~quadratic in its length; 48-token
-    # pacing (the reference client's 64-token cadence, tts_client.py:31)
-    # bounds the total at ~2-3x a single full decode while keeping ~4 s
-    # of audio per wire frame. The FIRST emission uses a small head
-    # threshold so a streaming client's first frame lands after one or
-    # two decode chunks (the engine head-schedule analog).
+    # (the final emission always flushes). Emissions feed the INCREMENTAL
+    # stream (models/vocoder_stream.py): per-emission cost is O(new
+    # tokens) regardless of position — a paged long stream pays the same
+    # total vocoder work as one full decode (the round-3 full-left-
+    # context windows paid O(end) per emission, ~quadratic total). The
+    # 48-token pacing still matches the reference client's 64-token
+    # cadence (tts_client.py:31, ~4 s of audio per wire frame); the FIRST
+    # emission uses a small head threshold so a streaming client's first
+    # frame lands after one or two decode chunks (the engine
+    # head-schedule analog).
     stream_emit_tokens = 48
     stream_head_tokens = 8
 
     def _dispatch_stream_windows(self, state, done, n_codes, skip):
-        """Per-slot streaming emissions, dispatch phase: decode each
-        streaming slot's new tokens through a conv-exact full-left-
-        context DEVICE window (the same construction as the engine's
-        streaming mode — one token held back as real lookahead while the
-        slot is live, zero-code lookahead on the final window), so the
-        concatenated segments equal the non-streaming audio sample for
-        sample. Windows dispatch on device values (chained behind the
-        decode chunk), before any codes fetch."""
+        """Per-slot streaming emissions, dispatch phase: advance each
+        streaming slot's incremental vocoder stream over its new final
+        tokens (decomposed into the fixed STREAM_STEP_SIZES quanta;
+        sub-quantum remainders wait for more tokens unless the slot is
+        done). The stream's internal hold-back lag (output_crop samples)
+        replaces the old one-token lookahead hold-back; a finished slot
+        flushes the lag through >= 1 frame of zero codes past the
+        utterance end — the same zero-code lookahead contract as
+        synthesize_exact, so the concatenated segments equal the
+        non-streaming audio (int16 within the vocoder_stream contract).
+        Steps dispatch on device values (chained behind the decode
+        chunk), before any codes fetch; state threads per request."""
+        U = SAMPLES_PER_TOKEN
+        crop = self.cfg.vocoder.output_crop
         jobs = []
         for slot in range(self.batch_size):
             req = self._slot_req[slot]
             if req is None or req.on_chunk is None or slot in skip:
                 continue
             if req.stream_error is not None:
-                # a failed window fetch left a hole that cannot be
-                # re-rendered — emitting later windows would stream audio
+                # a failed segment fetch left a hole that cannot be
+                # re-rendered — emitting later segments would stream audio
                 # with a silent gap (review finding); stop emitting and
                 # let the finish path surface the error
                 continue
             n = int(n_codes[slot])
-            end = n if done[slot] else max(n - 1, 0)
-            min_emit = (self.stream_head_tokens if req.rendered == 0
-                        else self.stream_emit_tokens)
-            if end <= req.rendered or (
-                    not done[slot] and end - req.rendered < min_emit):
+            if n <= 0:
                 continue
-            W = voc.voc_bucket(end + 1)
-            fut = self._voc_slot(self.params["vocoder"],
-                                 state.codes[slot], W=W)
-            jobs.append((req, fut, req.rendered, end))
-            req.rendered = end
+            avail = n - req.rendered
+            plan = []
+            if done[slot]:
+                if req.stream_kept >= n * U:
+                    continue
+                # cover the remaining frames plus >= 1 flush frame (one
+                # extra frame yields U > output_crop samples); the last
+                # quantum overshoots into the zero rows past n
+                need = avail + 1
+                while need > 0:
+                    s = min((s for s in self.STREAM_STEP_SIZES
+                             if s >= need),
+                            default=max(self.STREAM_STEP_SIZES))
+                    plan.append(s)
+                    need -= s
+            else:
+                min_emit = (self.stream_head_tokens if req.rendered == 0
+                            else self.stream_emit_tokens)
+                if avail < min_emit:
+                    continue
+                floor = min(self.STREAM_STEP_SIZES)
+                while avail >= floor:
+                    s = max(s for s in self.STREAM_STEP_SIZES if s <= avail)
+                    plan.append(s)
+                    avail -= s
+            for c in plan:
+                primed = req.voc_stream is not None
+                if not primed:
+                    req.voc_stream = vstream.init_stream_state(
+                        self.cfg.vocoder)
+                fut, req.voc_stream = self._stream_step_fn(c, primed)(
+                    self.params["vocoder"], state.codes[slot],
+                    jnp.int32(req.rendered), req.voc_stream)
+                out_len = c * U - (0 if primed else crop)
+                keep = out_len
+                if done[slot]:
+                    keep = min(out_len, n * U - req.stream_kept)
+                req.rendered += c
+                req.stream_kept += keep
+                if keep > 0:
+                    jobs.append((req, fut, keep))
         return jobs
 
     def _harvest(self, state, skip=frozenset(), local_status=None) -> int:
@@ -1007,16 +1089,15 @@ class ContinuousBatcher:
         # overlapped burst instead of paying a round trip per window
         if finished_slots:
             state.codes.copy_to_host_async()
-        for _, fut_, _, _ in stream_jobs:
+        for _, fut_, _ in stream_jobs:
             fut_.copy_to_host_async()
         for fut_ in voc_futs.values():
             fut_.copy_to_host_async()
         codes_all = (np.asarray(jax.device_get(state.codes))
                      if finished_slots else None)
-        spt = SAMPLES_PER_TOKEN
-        for req, fut, start, end in stream_jobs:
+        for req, fut, keep in stream_jobs:
             try:
-                seg = np.asarray(fut)[0][start * spt:end * spt]
+                seg = np.asarray(fut)[0][:keep]
             except Exception as e:
                 # a failed device fetch leaves a hole that cannot be
                 # re-rendered (rendered already advanced) — surface it on
@@ -1047,7 +1128,8 @@ class ContinuousBatcher:
                              if req.audio_parts
                              else np.zeros((0,), np.int16))
                 elif slot in voc_futs:
-                    audio = np.asarray(voc_futs[slot])[0][:n * spt]
+                    audio = np.asarray(voc_futs[slot])[0][
+                        :n * SAMPLES_PER_TOKEN]
                 elif n == 0:
                     # keep submit()'s int16 contract even for an
                     # immediate-EOS request (synthesize_exact's n==0

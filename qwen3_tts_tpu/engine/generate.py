@@ -75,13 +75,51 @@ def init_state(
     max_tokens, launch_qwen3_tts.sh:32). A runtime value — the loop stops
     the slot at min(budget, cfg.max_tokens) tokens, so a capped request
     in a lockstep batch frees its slot instead of decoding to the shared
-    budget and trimming host-side. Defaults to cfg.max_tokens."""
+    budget and trimming host-side. Defaults to cfg.max_tokens.
+
+    Split into ``prefill_state`` (the expensive part, deterministic in
+    the prefix alone — cacheable across requests) + ``assemble_state``
+    (the cheap per-request tail: seed, budget, zeroed carries); the
+    serving tier's prefix cache reuses the first across admissions
+    (the batched analog of the reference's talker KV persistence,
+    llamacpp_talker_server.py:208-246)."""
+    hidden, kv = prefill_state(talker_params, prefix, prefix_len, cfg,
+                               kv_dtype=kv_dtype)
+    return assemble_state(hidden, kv, prefix_len, n_text, key, cfg,
+                          budget=budget)
+
+
+def prefill_state(
+    talker_params: Params,
+    prefix: jax.Array,       # (B, P_pad, H)
+    prefix_len: jax.Array,   # (B,)
+    cfg: TTSConfig,
+    kv_dtype=None,
+) -> tuple:
+    """The expensive half of ``init_state``: run the talker prefill and
+    return ``(hidden, kv)``. Deterministic in (params, prefix) — no seed
+    or budget enters — so the result is cacheable per prefix."""
     B = prefix.shape[0]
     tcfg = cfg.talker
     geo = tfm.geometry_of(tcfg)
     kv = tfm.init_kv_cache(geo, B, tcfg.max_seq_len,
                            dtype=kv_dtype or prefix.dtype)
     hidden, kv = tk.prefill(talker_params, prefix, prefix_len, kv, tcfg)
+    return hidden, kv
+
+
+def assemble_state(
+    hidden: jax.Array,       # (B, H) from prefill_state
+    kv: jax.Array,           # from prefill_state
+    prefix_len: jax.Array,   # (B,)
+    n_text: jax.Array,       # (B,)
+    key: jax.Array,          # (2,) broadcast or (B, 2) per-element
+    cfg: TTSConfig,
+    budget=None,
+) -> GenState:
+    """The cheap per-request half of ``init_state``: attach seed/budget
+    and the zeroed loop carries to a (possibly cached) prefill result."""
+    B = hidden.shape[0]
     W = cfg.sampling.repetition_window
     return GenState(
         kv=kv,

@@ -24,6 +24,7 @@ import queue
 import sys
 import threading
 import time
+from collections import OrderedDict
 from concurrent.futures import Future
 from typing import Dict, List, Optional
 
@@ -188,7 +189,8 @@ class ContinuousBatcher:
                  paged: bool = False, page_size: int = 64,
                  pool_pages: Optional[int] = None,
                  max_pages_per_slot: Optional[int] = None,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 prefix_cache: int = 8):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
@@ -221,7 +223,15 @@ class ContinuousBatcher:
         behind the next speculative chunk), finished slots burning one
         frozen (no-op) chunk before recycling, and one extra GenState
         pinned in HBM (the un-harvested chunk's output — the full KV
-        pool plus codes buffers; no buffer donation)."""
+        pool plus codes buffers; no buffer donation).
+
+        ``prefix_cache``: admission prefix LRU capacity in entries (0
+        disables). Repeat admissions with the same text (and, for voice
+        cloning, the same reference codes — i.e. the same prompt_dir)
+        skip the prefill dispatch entirely; seed and budget attach at
+        assembly so different seeds share one entry. Each entry pins a
+        batch-1 KV at the prefill window (dense tier: max_seq_len rows;
+        paged tier: the page-aligned prefix window)."""
         if pipeline_depth not in (1, 2):
             raise ValueError(f"pipeline_depth must be 1 or 2, "
                              f"got {pipeline_depth}")
@@ -362,8 +372,6 @@ class ContinuousBatcher:
 
             self._grow_many = jax.jit(_grow_many_fn)
             self._release = jax.jit(_release_fn)
-            self._insert_paged = jax.jit(_insert_slot_paged,
-                                         static_argnames=("n_rows",))
 
         self._state = _empty_state(cfg, batch_size, dtype, paged_kv)
         if self._state_shardings is not None:
@@ -384,37 +392,81 @@ class ContinuousBatcher:
         self._submit_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
 
-        def _prefill_fn(pcfg):
-            # budget is a runtime scalar: per-request max_tokens caps the
-            # slot inside the loop (no decode-then-trim), zero new compiles
-            def fn(tp, ids, n_text, key, budget):
+        def _prefix_fn(pcfg):
+            # the deterministic half of admission: dual-stream prefix +
+            # talker prefill -> (hidden, kv, plen). No seed or budget
+            # enters, so the result is cacheable across requests with the
+            # same text (the batched analog of the engine's prefix LRU /
+            # the reference's talker KV persistence,
+            # llamacpp_talker_server.py:208-246)
+            def fn(tp, ids, n_text):
                 prefix, plen = tk.build_prefix(tp, ids, n_text)
-                return gen.init_state(
+                hidden, kv = gen.prefill_state(
                     tp, prefix[None].astype(tp["codec_embedding"].dtype),
-                    plen[None], n_text[None], key, pcfg, budget=budget)
+                    plen[None], pcfg)
+                return hidden, kv, plen[None]
             return jax.jit(fn)
 
-        def _prefill_cloned_fn(pcfg):
+        def _prefix_cloned_fn(pcfg):
             # voice-cloning admission: cloned dual-stream prefix (ref
-            # frames as continuation rows), EOS pacing on the TARGET text
-            # only — the same contract as engine._mk_state_cloned
-            def fn(tp, cp_embs, ids, n_text, n_target, ref_codes, n_ref,
-                   key, budget):
+            # frames as continuation rows) — the same contract as
+            # engine._mk_state_cloned. n_target (EOS pacing) joins at
+            # assembly, not here, so one cached prefill serves any
+            # n_target with the same text+ref
+            def fn(tp, cp_embs, ids, n_text, ref_codes, n_ref):
                 prefix, plen = tk.build_prefix_cloned(
                     tp, cp_embs, ids, n_text, ref_codes, n_ref)
-                return gen.init_state(
+                hidden, kv = gen.prefill_state(
                     tp, prefix[None].astype(tp["codec_embedding"].dtype),
-                    plen[None], n_target[None], key, pcfg, budget=budget)
+                    plen[None], pcfg)
+                return hidden, kv, plen[None]
             return jax.jit(fn)
 
-        self._prefill_one = _prefill_fn(cfg)
-        self._prefill_cloned_one = _prefill_cloned_fn(cfg)
-        self._make_prefill_plain = _prefill_fn
-        self._make_prefill_cloned = _prefill_cloned_fn
-        # paged prefill programs keyed by (page-aligned window, cloned?)
+        def _assemble_insert_fn(state, slot, hidden, kv, plen, n_pace,
+                                key, budget):
+            # per-request tail (seed/budget + zeroed carries) FUSED into
+            # the slot splice: a cache hit admits in ONE program
+            # invocation (the dominant cost through the tunnel is
+            # invocations, not FLOPs — CLAUDE.md rig facts); a miss pays
+            # prefix + this = two, the same count as the unsplit round-3
+            # prefill+insert pair
+            sub = gen.assemble_state(hidden, kv, plen, n_pace[None], key,
+                                     cfg, budget=budget)
+            return _insert_slot(state, slot, sub)
+
+        def _assemble_insert_paged_fn(state, slot, hidden, kv, plen,
+                                      n_pace, key, budget, table_row,
+                                      capacity, *, n_rows):
+            sub = gen.assemble_state(hidden, kv, plen, n_pace[None], key,
+                                     cfg, budget=budget)
+            return _insert_slot_paged(state, slot, sub, table_row,
+                                      capacity, n_rows=n_rows)
+
+        self._prefix_one = _prefix_fn(cfg)
+        self._prefix_cloned_one = _prefix_cloned_fn(cfg)
+        self._make_prefix_plain = _prefix_fn
+        self._make_prefix_cloned = _prefix_cloned_fn
+        self._insert_assembled = jax.jit(_assemble_insert_fn)
+        self._insert_assembled_paged = jax.jit(
+            _assemble_insert_paged_fn, static_argnames=("n_rows",))
+        # paged prefix programs keyed by (page-aligned window, cloned?)
         self._prefill_cache: Dict[tuple, object] = {}
+        # admission prefix LRU (VERDICT r3 Weak #5): (hidden, kv, plen)
+        # device tuples keyed by the full numerical identity of the
+        # prefix — text ids bytes, n_text, bucketed ref bytes, n_ref,
+        # prefill window. A serving workload with few voices / repeated
+        # prompt_dirs skips the whole prefill dispatch on repeats (seed
+        # and budget join at assembly, so different seeds share entries).
+        # Entries hold a batch-1 KV at the prefill window: dense tier =
+        # max_seq_len rows, paged tier = the page-aligned prefix window
+        # (much smaller). jax arrays are immutable; the fused
+        # assemble+insert programs copy into the batch state, so sharing
+        # one entry across concurrent admissions is safe.
+        self.prefix_cache_size = prefix_cache
+        self._prefix_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.prefix_hits = 0
+        self.prefix_misses = 0
         self._backlog: List[_Request] = []
-        self._insert = jax.jit(_insert_slot)
         # stop(): force abandoned mid-decode slots to done so a restarted
         # batcher sees them as free (admission fully overwrites slot state)
         self._mark_done = jax.jit(
@@ -538,6 +590,10 @@ class ContinuousBatcher:
             "active_slots": active,
             "queued": self._queue.qsize() + len(self._backlog),
             "paged": self.paged,
+            "prefix_cache": {"entries": len(self._prefix_lru),
+                             "capacity": self.prefix_cache_size,
+                             "hits": self.prefix_hits,
+                             "misses": self.prefix_misses},
         }
         if self.paged:
             snap["free_pages"] = len(self._free_pages)
@@ -678,6 +734,26 @@ class ContinuousBatcher:
         req.cloned_prep = (padded, n_ref)
         return req.cloned_prep
 
+    def _prefix_result(self, key: tuple, fn, *args) -> tuple:
+        """Consult the admission prefix LRU; on miss run the prefix
+        program ``fn(*args)`` and cache its (hidden, kv, plen). The key
+        carries the prefix's full numerical identity (text ids bytes,
+        n_text, prefill window[, bucketed ref bytes, n_ref]) — seed and
+        budget are NOT part of the prefix, they join at assembly."""
+        if self.prefix_cache_size > 0:
+            hit = self._prefix_lru.get(key)
+            if hit is not None:
+                self._prefix_lru.move_to_end(key)
+                self.prefix_hits += 1
+                return hit
+        out = fn(*args)
+        self.prefix_misses += 1
+        if self.prefix_cache_size > 0:
+            self._prefix_lru[key] = out
+            while len(self._prefix_lru) > self.prefix_cache_size:
+                self._prefix_lru.popitem(last=False)
+        return out
+
     def _req_budget(self, req: "_Request") -> int:
         mt = req.max_tokens
         return (min(int(mt), self.cfg.max_tokens) if mt is not None
@@ -791,22 +867,27 @@ class ContinuousBatcher:
                                 f"{PREFIX_EXTRA} special) exceeds the dense "
                                 f"KV allocation (max_seq_len={S}); shorten "
                                 f"the text or use the paged batcher")
+                        ids_b = np.asarray(req.text_ids).tobytes()
                         if req.ref_codes is not None:
-                            sub = self._prefill_cloned_one(
+                            hidden, kv, plen = self._prefix_result(
+                                (ids_b, req.n_text_host, S, True,
+                                 np.asarray(ref_pad).tobytes(), int(n_ref)),
+                                self._prefix_cloned_one,
                                 self.params["talker"],
                                 self.params["code_predictor"]["codec_embs"],
                                 req.text_ids, req.n_text,
-                                jnp.int32(req.n_target),
-                                jnp.asarray(ref_pad), jnp.int32(n_ref),
-                                smp.host_prng_key(req.seed),
-                                jnp.int32(self._req_budget(req)))
+                                jnp.asarray(ref_pad), jnp.int32(n_ref))
+                            n_pace = jnp.int32(req.n_target)
                         else:
-                            sub = self._prefill_one(
-                                self.params["talker"], req.text_ids,
-                                req.n_text, smp.host_prng_key(req.seed),
-                                jnp.int32(self._req_budget(req)))
-                        self._state = self._insert(self._state,
-                                                   jnp.int32(slot), sub)
+                            hidden, kv, plen = self._prefix_result(
+                                (ids_b, req.n_text_host, S, False),
+                                self._prefix_one, self.params["talker"],
+                                req.text_ids, req.n_text)
+                            n_pace = req.n_text
+                        self._state = self._insert_assembled(
+                            self._state, jnp.int32(slot), hidden, kv,
+                            plen, n_pace, smp.host_prng_key(req.seed),
+                            jnp.int32(self._req_budget(req)))
                 except Exception as e:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -875,19 +956,23 @@ class ContinuousBatcher:
                 self.cfg, talker=dataclasses.replace(
                     self.cfg.talker, max_seq_len=s_pre))
             fn = self._prefill_cache[(s_pre, cloned)] = (
-                self._make_prefill_cloned(pcfg) if cloned
-                else self._make_prefill_plain(pcfg))
+                self._make_prefix_cloned(pcfg) if cloned
+                else self._make_prefix_plain(pcfg))
+        ids_b = np.asarray(req.text_ids).tobytes()
         if cloned:
-            sub = fn(self.params["talker"],
-                     self.params["code_predictor"]["codec_embs"],
-                     req.text_ids, req.n_text, jnp.int32(req.n_target),
-                     jnp.asarray(ref_pad), jnp.int32(n_ref),
-                     smp.host_prng_key(req.seed),
-                     jnp.int32(self._req_budget(req)))
+            hidden, kv, plen = self._prefix_result(
+                (ids_b, req.n_text_host, s_pre, True,
+                 np.asarray(ref_pad).tobytes(), int(n_ref)),
+                fn, self.params["talker"],
+                self.params["code_predictor"]["codec_embs"],
+                req.text_ids, req.n_text,
+                jnp.asarray(ref_pad), jnp.int32(n_ref))
+            n_pace = jnp.int32(req.n_target)
         else:
-            sub = fn(self.params["talker"], req.text_ids, req.n_text,
-                     smp.host_prng_key(req.seed),
-                     jnp.int32(self._req_budget(req)))
+            hidden, kv, plen = self._prefix_result(
+                (ids_b, req.n_text_host, s_pre, False),
+                fn, self.params["talker"], req.text_ids, req.n_text)
+            n_pace = req.n_text
 
         pages = [free.pop() for _ in range(need)]
         table_row = np.zeros((self.max_pages_per_slot,), np.int32)
@@ -900,9 +985,12 @@ class ContinuousBatcher:
         # never read before the decode loop overwrites them (attention is
         # masked to rows <= pos, and the row at pos is written first).
         try:
-            self._state = self._insert_paged(
-                self._state, jnp.int32(slot), sub, jnp.asarray(table_row),
-                jnp.int32(need * psz), n_rows=s_pre)
+            self._state = self._insert_assembled_paged(
+                self._state, jnp.int32(slot), hidden, kv, plen, n_pace,
+                smp.host_prng_key(req.seed),
+                jnp.int32(self._req_budget(req)),
+                jnp.asarray(table_row), jnp.int32(need * psz),
+                n_rows=s_pre)
         except BaseException:
             # the insert failed before the pages were recorded in
             # _slot_pages: return them to the pool or they leak forever,

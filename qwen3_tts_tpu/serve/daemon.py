@@ -800,6 +800,11 @@ def main(argv=None) -> int:
                         "behind device compute (throughput-oriented; "
                         "results and streaming frames surface one chunk "
                         "later)")
+    p.add_argument("--prefix_cache", type=int, default=8,
+                   help="Batched-mode admission prefix LRU entries (0 "
+                        "disables): repeat texts / prompt_dirs skip the "
+                        "prefill dispatch at admission; each entry pins "
+                        "one batch-1 prefill KV on device")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
@@ -847,7 +852,8 @@ def main(argv=None) -> int:
                                     decode_chunk=args.decode_chunk,
                                     paged=args.paged,
                                     page_size=args.page_size,
-                                    pipeline_depth=args.pipeline_depth)
+                                    pipeline_depth=args.pipeline_depth,
+                                    prefix_cache=args.prefix_cache)
     # warm the compile caches before accepting requests — through the
     # tier that will actually serve: a batched daemon's first real
     # request otherwise pays the batcher programs' minutes-long first

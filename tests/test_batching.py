@@ -779,3 +779,98 @@ def test_streaming_incremental_work_is_linear_paged():
     delta = np.abs(audio.astype(np.int32) - audio2.astype(np.int32))
     assert delta.max() <= 1
     assert float((delta > 0).mean()) < 1e-4
+
+
+def _drain(b, futs, steps=400):
+    for _ in range(steps):
+        if all(f.done() for f in futs):
+            break
+        b.step()
+    assert all(f.done() for f in futs)
+
+
+def test_prefix_cache_repeat_text_skips_prefill():
+    """VERDICT r3 Weak #5: the second admission of the same text skips
+    the prefill dispatch (prefix program called once) and, at the same
+    seed, yields bit-identical codes and audio — the cached (hidden, kv,
+    plen) is numerically the prefill it replaced."""
+    cfg = tiny_tts_config(max_tokens=8)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(cfg, params, batch_size=1, decode_chunk=4,
+                          dtype=jnp.float32)
+    calls = []
+    orig = b._prefix_one
+    b._prefix_one = lambda *a: (calls.append(1), orig(*a))[1]
+
+    ids, n = _ids("repeat me")
+    f1 = b.submit(ids, n, seed=5)
+    _drain(b, [f1])
+    codes1, audio1 = f1.result(timeout=1)
+    assert len(calls) == 1 and b.prefix_misses == 1
+
+    f2 = b.submit(ids, n, seed=5)          # same text, same seed
+    f3 = b.submit(ids, n, seed=99)         # same text, new seed
+    _drain(b, [f2, f3])
+    codes2, audio2 = f2.result(timeout=1)
+    assert len(calls) == 1, "second admission must not re-dispatch prefill"
+    assert b.prefix_hits == 2              # seed is not part of the key
+    np.testing.assert_array_equal(codes2, codes1)
+    np.testing.assert_array_equal(audio2, audio1)
+
+    other, m = _ids("different")
+    f4 = b.submit(other, m, seed=5)
+    _drain(b, [f4])
+    assert len(calls) == 2, "a new text is a genuine miss"
+    assert {"hits", "misses", "entries",
+            "capacity"} <= set(b.occupancy()["prefix_cache"])
+
+
+def test_prefix_cache_cloned_and_lru_paged():
+    """Cloned (prompt_dir) repeats hit the cache keyed on text AND ref
+    codes; a different ref with the same text misses; the LRU respects
+    its capacity bound; prefix_cache=0 disables caching. Paged tier, so
+    the cached KV is the page-aligned prefill window."""
+    cfg = tiny_tts_config(max_tokens=16)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(cfg, params, batch_size=2, decode_chunk=4,
+                          dtype=jnp.float32, paged=True, page_size=8,
+                          prefix_cache=2)
+    rng = np.random.default_rng(3)
+    ref_a = rng.integers(0, 32, (4, 16))
+    ref_b = rng.integers(0, 32, (4, 16))
+    ids, n = _ids("clone tgt")
+    kw = dict(n_target=max(n - 2, 1))
+
+    f1 = b.submit(ids, n, seed=1, ref_codes=ref_a, **kw)
+    _drain(b, [f1])
+    codes1, audio1 = f1.result(timeout=1)
+    assert b.prefix_misses == 1
+
+    f2 = b.submit(ids, n, seed=1, ref_codes=ref_a, **kw)   # same prompt_dir
+    f3 = b.submit(ids, n, seed=1, ref_codes=ref_b, **kw)   # new ref audio
+    _drain(b, [f2, f3])
+    codes2, audio2 = f2.result(timeout=1)
+    assert b.prefix_hits == 1 and b.prefix_misses == 2
+    np.testing.assert_array_equal(codes2, codes1)
+    np.testing.assert_array_equal(audio2, audio1)
+
+    # capacity 2: a third distinct prefix evicts the oldest (ref_a's)
+    plain, pn = _ids("plainer")
+    f4 = b.submit(plain, pn, seed=0)
+    _drain(b, [f4])
+    assert len(b._prefix_lru) == 2
+    f5 = b.submit(ids, n, seed=1, ref_codes=ref_a, **kw)   # evicted -> miss
+    _drain(b, [f5])
+    assert b.prefix_misses == 4
+    codes5, audio5 = f5.result(timeout=1)
+    np.testing.assert_array_equal(codes5, codes1)   # eviction never
+    np.testing.assert_array_equal(audio5, audio1)   # changes results
+
+    b0 = ContinuousBatcher(cfg, params, batch_size=1, decode_chunk=4,
+                           dtype=jnp.float32, prefix_cache=0)
+    g1 = b0.submit(ids, n, seed=1)
+    _drain(b0, [g1])
+    g2 = b0.submit(ids, n, seed=1)
+    _drain(b0, [g2])
+    assert b0.prefix_hits == 0 and b0.prefix_misses == 2
+    assert len(b0._prefix_lru) == 0

@@ -62,23 +62,38 @@ def main() -> None:
         num_heads=8, num_kv_heads=4, head_dim=16)
     cfg = dataclasses.replace(C.tiny_tts_config(max_tokens=4),
                               talker=talker, code_predictor=cp)
-    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
-    sharded = pmesh.shard_params(
-        mesh, {"talker": params["talker"],
-               "code_predictor": params["code_predictor"]})
-    tkp, cpp = sharded["talker"], sharded["code_predictor"]
+    # params are created as COMMITTED global arrays by a jitted init with
+    # out_shardings — never device_put from host values: in
+    # multi-controller JAX, device_put of an uncommitted value to a
+    # multi-process sharding runs multihost_utils.assert_equal, a GLOO
+    # allgather whose context-init rendezvous has a hardcoded ~30 s
+    # deadline; under CPU contention the peers' compile skew blows it
+    # (observed round-4: "Gloo context initialization failed:
+    # GetKeyValue() timed out", jax/_src/dispatch.py:493). The jitted
+    # init executes locally on every process (same seed => same values),
+    # no cross-process traffic at all.
+    def init_tkcp():
+        p = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+        return {"talker": p["talker"],
+                "code_predictor": p["code_predictor"]}
+
+    abs_params = jax.eval_shape(init_tkcp)
+    param_sh = pmesh.param_shardings(mesh, abs_params)
 
     from jax.sharding import NamedSharding
     B = 2 * mesh.shape["dp"]
-    ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (B, 1))
-    n_text = jnp.full((B,), 5, jnp.int32)
     state_spec = pmesh.gen_state_spec(cfg)
     state_shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), state_spec,
         is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
 
     @jax.jit
-    def prefill_and_step(tkp, cpp, ids, n_text, key):
+    def prefill_and_step(tkp, cpp):
+        # inputs derived from literals IN-PROGRAM (host-value args would
+        # re-enter the assert_equal path above)
+        ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (B, 1))
+        n_text = jnp.full((B,), 5, jnp.int32)
+        key = jax.random.PRNGKey(0)
         prefix, plen = jax.vmap(
             lambda i, n: tk.build_prefix(tkp, i, n))(ids, n_text)
         state = gen.init_state(tkp, prefix, plen, n_text, key, cfg)
@@ -93,17 +108,39 @@ def main() -> None:
         # executing (blocking in a gloo collective) while its peer still
         # compiles blows the transport timeout (round-3 flake). The
         # coordination barrier waits the full timeout regardless.
-        key = jax.random.PRNGKey(0)
-        compiled = prefill_and_step.lower(tkp, cpp, ids, n_text,
-                                          key).compile()
+        init_c = jax.jit(init_tkcp, out_shardings=param_sh).lower().compile()
+        abs_in = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            abs_params, param_sh)
+        compiled = prefill_and_step.lower(abs_in["talker"],
+                                          abs_in["code_predictor"]).compile()
+        # The result gather must be AOT-compiled too:
+        # multihost_utils.process_allgather compiles its pjit AT CALL
+        # TIME, so under CPU contention the two processes' compile skew
+        # lands inside the call — and gloo's context-init rendezvous has
+        # a hardcoded ~30 s deadline that starts at execution (observed:
+        # "Gloo context initialization failed: GetKeyValue() timed out").
+        # One identity pjit replicating both outputs = one gloo
+        # rendezvous, compiled before the fence.
+        rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
+        csh, nsh = compiled.output_shardings
+        gather = jax.jit(lambda c, n: (c, n), out_shardings=(rep, rep))
+        gather_c = gather.lower(
+            jax.ShapeDtypeStruct((B, cfg.max_tokens, 16), jnp.int32,
+                                 sharding=csh),
+            jax.ShapeDtypeStruct((B,), jnp.int32, sharding=nsh),
+        ).compile()
         print(f"p{pid} compiled", flush=True)
         mh.barrier("dcn_worker_compiled", timeout_s=900)
-        codes, n_codes = compiled(tkp, cpp, ids, n_text, key)
-        from jax.experimental import multihost_utils
-        n_all = multihost_utils.process_allgather(n_codes, tiled=True)
-        codes_all = multihost_utils.process_allgather(codes, tiled=True)
-    n_all = np.asarray(n_all)
-    codes_all = np.asarray(codes_all)
+        # all executions run back-to-back after the fence: skew between
+        # processes is now execution time on tiny shapes (ms), far inside
+        # any transport rendezvous deadline
+        sharded = init_c()
+        codes, n_codes = compiled(sharded["talker"],
+                                  sharded["code_predictor"])
+        codes_all, n_all = gather_c(codes, n_codes)
+    n_all = np.asarray(n_all.addressable_data(0))
+    codes_all = np.asarray(codes_all.addressable_data(0))
     assert codes_all.shape == (B, cfg.max_tokens, 16)
     assert (codes_all[:, :2] < cfg.code_predictor.group_vocab_size).all()
     print(f"pRESULT {pid} n_codes={n_all.tolist()} "

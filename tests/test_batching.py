@@ -673,17 +673,22 @@ def test_scheduler_chaos_invariants():
     (queued AND admitted), streaming requests, voice-cloned requests,
     and per-request budgets
     must leave the scheduler with every future resolved, every slot free,
-    and (in paged mode) every page back in the pool."""
+    and (in paged mode) every page back in the pool.
+
+    Texts draw from a 5-entry pool so admissions repeatedly HIT the
+    prefix LRU mid-chaos (round-4 admission cache): a cancelled or
+    evicted request must never corrupt a cached prefill other
+    admissions reuse."""
     rng = np.random.default_rng(1234)
     params = weights_io.init_random_params(TTS, seed=0, dtype=jnp.float32)
     for paged, depth in ((False, 1), (True, 2)):
         b = ContinuousBatcher(TTS, params, batch_size=2, decode_chunk=4,
                               dtype=jnp.float32, paged=paged, page_size=8,
-                              pipeline_depth=depth)
+                              pipeline_depth=depth, prefix_cache=6)
         free0 = len(b._free_pages) if paged else None
         futs = []
         for i in range(18):
-            ids, n = _ids(f"chaos {i}")
+            ids, n = _ids(f"chaos {i % 5}")
             kw = {}
             if rng.random() < 0.3:
                 kw["max_tokens"] = int(rng.integers(1, 6))
@@ -718,6 +723,9 @@ def test_scheduler_chaos_invariants():
         if paged:
             assert len(b._free_pages) == free0, "pages leaked"
             assert all(p == [] for p in b._slot_pages)
+        pc = b.occupancy()["prefix_cache"]
+        assert pc["entries"] <= pc["capacity"] == 6
+        assert pc["hits"] > 0, "pool of 5 texts must produce cache hits"
 
 
 def test_streaming_incremental_work_is_linear_paged():

@@ -793,13 +793,15 @@ def main(argv=None) -> int:
                         "decouples from the dense max_seq_len allocation "
                         "and KV memory tracks actual usage")
     p.add_argument("--page_size", type=int, default=64)
-    p.add_argument("--pipeline_depth", type=int, default=1, choices=[1, 2],
-                   help="Batched-mode chunk pipelining: 2 dispatches the "
-                        "next decode chunk before harvesting the previous "
-                        "one, hiding the per-chunk status round trip "
-                        "behind device compute (throughput-oriented; "
-                        "results and streaming frames surface one chunk "
-                        "later)")
+    p.add_argument("--pipeline_depth", type=int, default=2, choices=[1, 2],
+                   help="Batched-mode chunk pipelining: 2 (default) "
+                        "dispatches the next decode chunk before harvesting "
+                        "the previous one, hiding the per-chunk status "
+                        "round trip behind device compute. Measured "
+                        "+22%% throughput at ~zero p50 latency cost "
+                        "(first-frame p95 +~1 chunk; "
+                        "docs/BENCHMARKS.md depth A/B); pass 1 for "
+                        "strictly earliest frame surfacing")
     p.add_argument("--prefix_cache", type=int, default=8,
                    help="Batched-mode admission prefix LRU entries (0 "
                         "disables): repeat texts / prompt_dirs skip the "

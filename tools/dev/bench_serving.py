@@ -28,6 +28,10 @@ def main() -> int:
     qt = "int8" in sys.argv[3:]
     paged = "paged" in sys.argv[3:]
     depth = 2 if "pipe2" in sys.argv[3:] else 1
+    # "stream": submit every request with an on_chunk callback and record
+    # admission -> FIRST FRAME latency (the metric pipeline_depth trades
+    # against throughput: depth 2 surfaces frames one chunk later)
+    stream = "stream" in sys.argv[3:]
     n_requests = batch * 3
 
     import jax
@@ -65,17 +69,26 @@ def main() -> int:
           file=sys.stderr, flush=True)
 
     futs = []
+    first_frame_at = {}
+
+    def mk_on_chunk(idx):
+        def on_chunk(seg):
+            if idx not in first_frame_at:
+                first_frame_at[idx] = time.perf_counter()
+        return on_chunk
+
     t0 = time.perf_counter()
     for i, t in enumerate(texts):
         ids, n = engine._encode_text(t)
-        futs.append(b.submit(np.asarray(ids), int(n), seed=i))
+        futs.append(b.submit(np.asarray(ids), int(n), seed=i,
+                             on_chunk=mk_on_chunk(i) if stream else None))
     while not all(f.done() for f in futs):
         b.step()
     wall = time.perf_counter() - t0
 
     tokens = audio_s = 0
-    queue_w, first_tok, adm_audio, e2e = [], [], [], []
-    for f in futs:
+    queue_w, first_tok, first_frame, adm_audio, e2e = [], [], [], [], []
+    for i, f in enumerate(futs):
         codes, audio = f.result(timeout=1)
         tokens += len(codes)
         audio_s += len(audio) / 24000.0
@@ -86,6 +99,8 @@ def main() -> int:
             e2e.append(r.t_done - r.t_submit)
             if r.t_first is not None:
                 first_tok.append(r.t_first - r.t_admit)
+            if i in first_frame_at:
+                first_frame.append(first_frame_at[i] - r.t_admit)
 
     def pct(a, q):
         return float(np.percentile(a, q)) if a else float("nan")
@@ -100,9 +115,14 @@ def main() -> int:
           f"admission->audio p50={pct(adm_audio, 50):.2f} "
           f"p95={pct(adm_audio, 95):.2f} | e2e p50={pct(e2e, 50):.2f} "
           f"p95={pct(e2e, 95):.2f}", file=sys.stderr, flush=True)
+    if first_frame:
+        print(f"admission->first-frame p50={pct(first_frame, 50):.2f} "
+              f"p95={pct(first_frame, 95):.2f} "
+              f"({len(first_frame)} streams)", file=sys.stderr, flush=True)
     import json
     print(json.dumps({"metric": "serving_throughput", "batch": batch,
-                      "paged": paged,
+                      "paged": paged, "pipeline_depth": depth,
+                      "stream": stream,
                       "value": round(audio_s / wall, 2),
                       "unit": "audio_seconds_per_second",
                       "aggregate_rtf": round(wall / audio_s, 4),
@@ -110,6 +130,8 @@ def main() -> int:
                           "queue_wait_p50": round(pct(queue_w, 50), 3),
                           "first_token_p50": round(pct(first_tok, 50), 3),
                           "first_token_p95": round(pct(first_tok, 95), 3),
+                          "first_frame_p50": round(pct(first_frame, 50), 3),
+                          "first_frame_p95": round(pct(first_frame, 95), 3),
                           "admission_audio_p50": round(pct(adm_audio, 50), 3),
                           "admission_audio_p95": round(pct(adm_audio, 95), 3),
                           "e2e_p50": round(pct(e2e, 50), 3),

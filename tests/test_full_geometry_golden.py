@@ -13,7 +13,13 @@ against ``transformers``' Qwen3Model:
   decode steps ending at position 511);
 - code predictor: 5 layers + small_to_mtp_projection, 15 groups x 2048
   (/root/reference/scripts/export_code_predictor_onnx.py:30-46), exact
-  greedy 15-group recursion + group-1 logits parity.
+  greedy 15-group recursion + group-1 logits parity;
+- vocoder: the real ``VocoderConfig()`` deployment geometry (8L/1024
+  pre-transformer with sliding_window 72, decoder_dim 1536, upsample
+  (8,5,4,3)x(2,2) = 1920 samples/token — the decoder the reference
+  traces in scripts/export_vocoder_traced.py:74-80), decoded PAST the
+  sliding window so the real rope_theta 1e4 table, the 16x2048 codebook
+  sum, and every channel-halving conv stage run at deployed size.
 
 Only the *text-embedding gather surface* is shrunk (vocab 8): a gather is
 geometry-insensitive, and the real 151936 x 2048 table costs 1.2 GB per
@@ -242,3 +248,74 @@ def test_cp_full_geometry_greedy_matches_torch(golden):
     got_logits0 = np.asarray(hj @ cpp["lm_heads"][0])[0]
     np.testing.assert_allclose(got_logits0, want_logits0,
                                rtol=RTOL, atol=ATOL)
+
+
+def test_vocoder_full_geometry_matches_torch():
+    """The real vocoder geometry vs the public torch module, decoded at
+    T=80 > sliding_window=72 so the deployed windowed-attention edge, the
+    rope_theta=1e4 table, the 16-codebook embedding sum, and every
+    channel-halving waveform stage (1536 -> ... at kernel 2*rate) run at
+    deployment size.  The tiny-geometry goldens (test_vocoder_golden.py)
+    cover the same contracts but would miss a geometry-dependent
+    misreading (channel split points, kernel/stride pairing, head_dim 64
+    rope)."""
+    from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe \
+        import Qwen3OmniMoeCode2WavConfig
+    from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe \
+        import Qwen3OmniMoeCode2Wav
+
+    from qwen3_tts_tpu.models import vocoder as voc
+
+    VC = C.VocoderConfig()            # the defaults ARE the real geometry
+    assert VC.total_upsample == 1920  # the 12 Hz / 24 kHz contract
+    tc = Qwen3OmniMoeCode2WavConfig(
+        codebook_size=VC.codebook_size,
+        hidden_size=VC.hidden_size,
+        num_attention_heads=VC.num_attention_heads,
+        num_key_value_heads=VC.num_key_value_heads,
+        sliding_window=VC.sliding_window,
+        intermediate_size=VC.intermediate_size,
+        num_hidden_layers=VC.num_hidden_layers,
+        num_quantizers=VC.num_codebooks,
+        upsample_rates=list(VC.upsample_rates),
+        upsampling_ratios=list(VC.upsampling_ratios),
+        decoder_dim=VC.decoder_dim,
+        rms_norm_eps=VC.rms_norm_eps,
+        rope_theta=VC.rope_theta,
+        layer_scale_initial_scale=VC.layer_scale_initial_scale,
+        max_position_embeddings=256,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    m = Qwen3OmniMoeCode2Wav(tc)
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        # perturb every tensor so parity failures can't hide behind
+        # zero-init identities (LayerScale, biases) — but RELATIVE to the
+        # tensor's own init scale: a flat 0.05 (the tiny test's choice)
+        # swamps the ~1/sqrt(fan_in) conv inits at these widths and
+        # saturates the whole waveform to +-1, which makes the
+        # comparison trivial and sign-flips boundary samples
+        for p in m.parameters():
+            s = float(p.std()) if p.numel() > 1 else 0.0
+            s = s if s > 1e-6 else 0.02
+            p.add_(0.3 * s * torch.randn(p.shape, generator=gen))
+    m = m.eval()
+
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params = weights_io.load_vocoder_from_state_dict(sd, VC)
+
+    rng = np.random.default_rng(0)
+    T = 80
+    codes = rng.integers(0, VC.codebook_size, (1, T, 16)).astype(np.int32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(codes).permute(0, 2, 1).long())
+    want = want.squeeze(1).numpy()
+
+    got = np.asarray(voc.decode_raw(params, jnp.asarray(codes), VC))
+    assert got.shape == want.shape == (1, voc.out_len(VC, T))
+    # the comparison only means something on a live waveform: a saturated
+    # output (everything clamped to +-1) matches trivially and flips
+    # sign at clamp boundaries under fp32 drift
+    assert (np.abs(want) < 0.99).mean() > 0.5, "output saturated"
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)

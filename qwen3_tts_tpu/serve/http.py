@@ -23,6 +23,8 @@ Endpoints:
       daemon's native frame stream ([u32 frame_len][u32 hdr_len][JSON]
       [int16 pcm]) carried verbatim as the HTTP body, ending with the
       done-frame; HTTPFrameReader below parses it client-side.
+  GET  /v1/models         -> 200 OpenAI-style model list (one entry,
+      "qwen3-tts") so OpenAI SDK handshakes work out of the box.
   POST /v1/audio/speech   -> OpenAI-compatible speech surface: body
       {"input": text, "voice": "default"|<prompt_dir>, "response_format":
       "wav"|"pcm", "speed": 1.0, "stream": bool} plus the non-standard
@@ -102,6 +104,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, {"ok": True})
         if self.path == "/v1/stats":
             return self._json(200, self._stats_snapshot())
+        if self.path == "/v1/models":
+            # OpenAI SDKs list models during their handshake; advertise
+            # one entry whose id the speech route accepts (and ignores —
+            # there is exactly one model behind this daemon)
+            return self._json(200, {
+                "object": "list",
+                "data": [{"id": "qwen3-tts", "object": "model",
+                          "created": 0, "owned_by": "qwen3_tts_tpu"}]})
         if self.path == "/metrics":
             body = prometheus_text(self._stats_snapshot()).encode()
             self.send_response(200)

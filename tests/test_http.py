@@ -45,6 +45,19 @@ def test_health_and_stats(gateway):
     c.close()
 
 
+def test_models_list_openai_shape(gateway):
+    """GET /v1/models: the OpenAI SDK handshake route — a list object
+    with one model entry whose id the speech route accepts."""
+    c = _conn(gateway)
+    c.request("GET", "/v1/models")
+    r = c.getresponse()
+    body = json.loads(r.read())
+    assert r.status == 200 and body["object"] == "list"
+    assert body["data"][0]["id"] == "qwen3-tts"
+    assert body["data"][0]["object"] == "model"
+    c.close()
+
+
 def test_metrics_prometheus_exposition(gateway):
     """GET /metrics: counters as *_total, percentile summaries with
     quantile labels, parseable name/value lines."""

@@ -35,7 +35,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--decode_chunk", type=int, default=32)
     ap.add_argument("--paged", action="store_true")
-    ap.add_argument("--pipeline_depth", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--pipeline_depth", type=int, default=2, choices=[1, 2],
+                    help="matches the daemon default (2 since r4)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default="default",

@@ -9,9 +9,13 @@ with a pure-Python fallback.
 Protocol (little-endian, framing in the style of the reference's
 talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
-                            "max_tokens"?, "prompt_dir"?, "stream"?,
-                            "long"?}]
-  (prompt_dir — voice cloning — is served by BOTH tiers: engine mode
+                            "max_tokens"?, "prompt_dir"?, "voice"?,
+                            "stream"?, "long"?}]
+  (voice: a NAME from the daemon's VoiceRegistry (--voices root,
+  serve/voices.py) resolved to its prompt_dir server-side — clients
+  address voices without knowing server paths; "default" means the
+  unconditioned model voice. prompt_dir — voice cloning by explicit
+  path — is served by BOTH tiers: engine mode
   through the prompt-cached prefill, batched mode through the cloned
   admission prefill (serve/batching.submit ref_codes/n_target).
   max_tokens: per-request generation cap, clamped to the engine's
@@ -147,10 +151,11 @@ class TTSDaemon:
 
     def __init__(self, engine: TTSEngine,
                  socket_path: str = DEFAULT_SOCKET,
-                 batcher=None):
+                 batcher=None, voices=None):
         self.engine = engine
         self.socket_path = socket_path
         self.batcher = batcher
+        self.voices = voices   # serve/voices.VoiceRegistry | None
         self.stats = ServingStats()
         self._stop = threading.Event()
         # engine mode serves ONE request at a time; the lock lives here
@@ -176,6 +181,22 @@ class TTSDaemon:
             if not text:
                 self.stats.record_error()
                 return encode_response({"error": "empty text"}, None)
+            voice = msg.get("voice")
+            if voice not in (None, "", "default"):
+                # registry names resolve server-side; the error lists
+                # what IS available so clients can self-correct
+                if msg.get("prompt_dir"):
+                    raise ValueError(
+                        "give 'voice' or 'prompt_dir', not both")
+                pd = (self.voices.resolve(voice)
+                      if self.voices is not None else None)
+                if pd is None:
+                    avail = (", ".join(self.voices.names())
+                             if self.voices is not None and len(self.voices)
+                             else "none registered")
+                    raise ValueError(f"unknown voice {voice!r} "
+                                     f"(available: {avail})")
+                msg["prompt_dir"] = pd
             mt = msg.get("max_tokens")
             mt = int(mt) if mt is not None else None
             if self.batcher is not None:
@@ -811,6 +832,12 @@ def main(argv=None) -> int:
                    choices=[None, "int8", "int8-cp"],
                    help="Weight-only int8 (see cli.py); the fastest "
                         "single-request config on TPU is 'int8'")
+    p.add_argument("--voices", default=None, metavar="DIR",
+                   help="Voice registry root: every subdirectory holding "
+                        "ref_codec_tokens.npy (a prompt_dir from "
+                        "tools/encode_reference_audio.py) becomes a named "
+                        "voice, addressable by requests' 'voice' field and "
+                        "listed at GET /v1/audio/voices")
     p.add_argument("--http", type=int, default=0, metavar="PORT",
                    help="ALSO serve HTTP on 127.0.0.1:PORT (serve/http.py:"
                         " POST /v1/synthesize -> WAV or chunked frame "
@@ -867,7 +894,13 @@ def main(argv=None) -> int:
                        seed=0).result(timeout=1800)
     else:
         engine.synthesize("warmup", language="english", seed=0)
-    daemon = TTSDaemon(engine, args.socket, batcher=batcher)
+    voices = None
+    if args.voices:
+        from qwen3_tts_tpu.serve.voices import VoiceRegistry
+        voices = VoiceRegistry(args.voices)
+        print(f"voice registry: {len(voices)} voice(s) "
+              f"{voices.names()}", flush=True)
+    daemon = TTSDaemon(engine, args.socket, batcher=batcher, voices=voices)
     srv = None
     if args.http:
         from qwen3_tts_tpu.serve.http import serve_http

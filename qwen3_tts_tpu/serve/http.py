@@ -25,6 +25,9 @@ Endpoints:
       done-frame; HTTPFrameReader below parses it client-side.
   GET  /v1/models         -> 200 OpenAI-style model list (one entry,
       "qwen3-tts") so OpenAI SDK handshakes work out of the box.
+  GET  /v1/audio/voices   -> 200 list of addressable voices: "default"
+      (the unconditioned model voice) plus every name in the daemon's
+      VoiceRegistry (serve/voices.py, --voices).
   POST /v1/audio/speech   -> OpenAI-compatible speech surface: body
       {"input": text, "voice": "default"|<prompt_dir>, "response_format":
       "wav"|"pcm", "speed": 1.0, "stream": bool} plus the non-standard
@@ -33,10 +36,12 @@ Endpoints:
       Stream: chunked raw bytes in the requested format as frames render
       (pcm only — a WAV header needs the final length). Errors use the
       OpenAI error envelope {"error": {"message", "type", "param"}}.
-      "voice" resolves to a voice-cloning prompt_dir (a directory made
-      by tools/encode_reference_audio.py); "default"/""/absent means the
-      unconditioned model voice. speed != 1.0 is rejected (no
-      time-stretch DSP in the pipeline — same stance as FP32-only).
+      "voice" resolves through the daemon's VoiceRegistry first (a name
+      from --voices), falling back to a raw voice-cloning prompt_dir
+      path (a directory made by tools/encode_reference_audio.py);
+      "default"/""/absent means the unconditioned model voice.
+      speed != 1.0 is rejected (no time-stretch DSP in the pipeline —
+      same stance as FP32-only).
 
 Threading: ThreadingHTTPServer — one thread per connection, matching the
 daemon's per-connection threads, so batched-mode requests from
@@ -112,6 +117,12 @@ class _Handler(BaseHTTPRequestHandler):
                 "object": "list",
                 "data": [{"id": "qwen3-tts", "object": "model",
                           "created": 0, "owned_by": "qwen3_tts_tpu"}]})
+        if self.path == "/v1/audio/voices":
+            reg = self.daemon_ref.voices
+            names = ["default"] + (reg.names() if reg is not None else [])
+            return self._json(200, {
+                "object": "list",
+                "data": [{"name": n, "object": "voice"} for n in names]})
         if self.path == "/metrics":
             body = prometheus_text(self._stats_snapshot()).encode()
             self.send_response(200)
@@ -191,13 +202,22 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(voice, str):
                 return self._openai_error(400, "voice must be a string",
                                           "voice")
-            if not os.path.isdir(voice) or not os.path.exists(
-                    os.path.join(voice, "ref_codec_tokens.npy")):
+            # registry name first, raw prompt_dir path as the fallback
+            from qwen3_tts_tpu.serve.voices import is_prompt_dir
+            reg = self.daemon_ref.voices
+            resolved = reg.resolve(voice) if reg is not None else None
+            if resolved is not None:
+                req["prompt_dir"] = resolved
+            elif is_prompt_dir(voice):
+                req["prompt_dir"] = voice
+            else:
+                avail = ", ".join(
+                    ["default"] + (reg.names() if reg is not None else []))
                 return self._openai_error(
-                    400, f"unknown voice {voice!r}: expected 'default' or a "
-                    "prompt_dir created by encode_reference_audio "
-                    "(ref_codec_tokens.npy)", "voice")
-            req["prompt_dir"] = voice
+                    400, f"unknown voice {voice!r}: expected one of "
+                    f"[{avail}] or a prompt_dir created by "
+                    "encode_reference_audio (ref_codec_tokens.npy)",
+                    "voice")
         raw = json.dumps(dict(req, stream=stream,
                               streaming=stream)).encode()
 

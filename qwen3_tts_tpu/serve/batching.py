@@ -41,9 +41,21 @@ from qwen3_tts_tpu.models import vocoder_stream as vstream
 from qwen3_tts_tpu.ops import sampling as smp
 
 
+class OverloadedError(RuntimeError):
+    """submit() rejected a request because the waiting pool is at
+    ``max_queue``. Raised synchronously (never parked on a Future) so
+    callers can shed load immediately — the daemon maps it to a
+    structured "overloaded" error and the HTTP gateway to 503 +
+    Retry-After, the standard serving backpressure contract. Without a
+    bound, a traffic spike would grow the queue (and every request's
+    latency) without limit — the failure the reference never faces at
+    batch=1 but a serving tier must."""
+
+
 class _Request:
     def __init__(self, text_ids, n_text, seed, max_tokens=None,
-                 on_chunk=None, ref_codes=None, n_target=None):
+                 on_chunk=None, ref_codes=None, n_target=None,
+                 priority=0, order=0):
         self.text_ids = text_ids
         # n_text arrives as a host int at submit(); keep BOTH forms —
         # the device scalar feeds the prefill programs, the host int
@@ -60,6 +72,10 @@ class _Request:
         # prompt_dir contract, engine/engine._prefill_cloned)
         self.ref_codes = ref_codes
         self.n_target = n_target
+        # admission order among waiting requests: highest priority first,
+        # FIFO (submit order) within a priority level
+        self.priority = priority
+        self.order = order
         # set at admission: (padded ref bucket, n_ref kept) — computed
         # once per request (a backlogged paged request retries admission
         # every step; re-bucketing would also re-print the truncation
@@ -190,7 +206,8 @@ class ContinuousBatcher:
                  pool_pages: Optional[int] = None,
                  max_pages_per_slot: Optional[int] = None,
                  pipeline_depth: int = 1,
-                 prefix_cache: int = 8):
+                 prefix_cache: int = 8,
+                 max_queue: Optional[int] = None):
         """``mesh``: optional jax.sharding.Mesh (dp x tp). When given, the
         parameters are tensor-sharded and the batched decode state is
         batch-sharded over dp / kv-head-sharded over tp
@@ -231,7 +248,12 @@ class ContinuousBatcher:
         skip the prefill dispatch entirely; seed and budget attach at
         assembly so different seeds share one entry. Each entry pins a
         batch-1 KV at the prefill window (dense tier: max_seq_len rows;
-        paged tier: the page-aligned prefix window)."""
+        paged tier: the page-aligned prefix window).
+
+        ``max_queue``: backpressure bound on the waiting pool (queued +
+        priority pool + paged backlog; None = unbounded). At the bound,
+        submit() raises OverloadedError instead of growing every
+        request's queue wait — callers shed load (HTTP: 503)."""
         if pipeline_depth not in (1, 2):
             raise ValueError(f"pipeline_depth must be 1 or 2, "
                              f"got {pipeline_depth}")
@@ -386,6 +408,11 @@ class ContinuousBatcher:
         # one step late (after the next chunk is already in flight)
         self._pending = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # priority pool: the scheduler drains the intake queue here and
+        # picks (highest priority, then FIFO). Scheduler-thread-only.
+        self._waiting: List[_Request] = []
+        self.max_queue = max_queue
+        self._order = 0              # submit sequence (under _submit_lock)
         self._stop = threading.Event()
         self._draining = False
         self._closed = False
@@ -539,7 +566,8 @@ class ContinuousBatcher:
     def submit(self, text_ids: np.ndarray, n_text: int,
                seed: int = 0, max_tokens: Optional[int] = None,
                on_chunk=None, ref_codes=None,
-               n_target: Optional[int] = None) -> Future:
+               n_target: Optional[int] = None,
+               priority: int = 0) -> Future:
         """Queue a request; the Future resolves to
         (codes np[T,16], audio int16 np — converted on device; pass it
         straight to wav writers/``voc.to_int16``). ``max_tokens``: per-request
@@ -561,20 +589,38 @@ class ContinuousBatcher:
         codec frames (a prompt_dir's ref_codec_tokens.npy), ``n_target``
         the target text's token count (EOS pacing). The admission prefill
         builds the cloned dual-stream prefix (talker.build_prefix_cloned)
-        exactly like the engine's prompt_dir path."""
+        exactly like the engine's prompt_dir path.
+
+        ``priority``: admission order among WAITING requests — higher
+        admits first, FIFO within a level (in-flight slots are never
+        preempted; a paged pool-pressure backlog keeps head-of-line, see
+        _next_request). Raises OverloadedError when ``max_queue`` is set
+        and the waiting pool is full."""
         if (ref_codes is None) != (n_target is None):
             raise ValueError("ref_codes and n_target go together")
-        req = _Request(jnp.asarray(text_ids, jnp.int32), n_text,
-                       seed, max_tokens, on_chunk,
-                       ref_codes=(None if ref_codes is None
-                                  else np.asarray(ref_codes, np.int32)),
-                       n_target=n_target)
-        req.future.request = req  # expose timing to callers (bench/metrics)
         # the lock closes the submit-vs-stop race: either the request
         # lands in the queue BEFORE stop() drains it (and is failed
         # there), or it observes _closed and fails here — never a
         # forever-pending Future on a dead scheduler
         with self._submit_lock:
+            if self.max_queue is not None:
+                # len(_waiting)/_backlog are scheduler-thread-owned: this
+                # read is approximate by one round, which is fine for a
+                # load-shedding bound
+                depth = (self._queue.qsize() + len(self._waiting)
+                         + len(self._backlog))
+                if depth >= self.max_queue:
+                    raise OverloadedError(
+                        f"server overloaded: {depth} requests waiting "
+                        f"(max_queue={self.max_queue}); retry later")
+            self._order += 1
+            req = _Request(jnp.asarray(text_ids, jnp.int32), n_text,
+                           seed, max_tokens, on_chunk,
+                           ref_codes=(None if ref_codes is None
+                                      else np.asarray(ref_codes, np.int32)),
+                           n_target=n_target,
+                           priority=int(priority), order=self._order)
+            req.future.request = req  # expose timing (bench/metrics)
             if self._closed:
                 req.future.set_exception(RuntimeError("batcher stopped"))
                 return req.future
@@ -588,7 +634,8 @@ class ContinuousBatcher:
         snap = {
             "batch_size": self.batch_size,
             "active_slots": active,
-            "queued": self._queue.qsize() + len(self._backlog),
+            "queued": (self._queue.qsize() + len(self._waiting)
+                       + len(self._backlog)),
             "paged": self.paged,
             "prefix_cache": {"entries": len(self._prefix_lru),
                              "capacity": self.prefix_cache_size,
@@ -649,7 +696,8 @@ class ContinuousBatcher:
                     leftovers.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-        leftovers += self._backlog
+        leftovers += self._waiting + self._backlog
+        self._waiting = []
         self._backlog = []
         if not joined:
             # the scheduler thread is wedged inside a device call (e.g. a
@@ -776,12 +824,23 @@ class ContinuousBatcher:
     def _next_request(self) -> Optional[_Request]:
         if self._draining:   # graceful stop: no new admissions
             return None
+        # a paged pool-pressure backlog keeps absolute head-of-line
+        # regardless of priority: it was already selected once, and
+        # admitting around it while it waits for pages would starve it
+        # exactly when the pool is tightest
         if self._backlog:
             return self._backlog.pop(0)
-        try:
-            return self._queue.get_nowait()
-        except queue.Empty:
+        while True:   # drain the intake into the priority pool
+            try:
+                self._waiting.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        if not self._waiting:
             return None
+        best = min(range(len(self._waiting)),
+                   key=lambda i: (-self._waiting[i].priority,
+                                  self._waiting[i].order))
+        return self._waiting.pop(best)
 
     def _evict_cancelled(self, done: np.ndarray) -> frozenset:
         """Free admitted slots whose request was withdrawn (``cancelled``
@@ -1366,7 +1425,8 @@ class ContinuousBatcher:
             except Exception:
                 pass
         if drain_queue:
-            leftovers = list(self._backlog)
+            leftovers = list(self._waiting) + list(self._backlog)
+            self._waiting = []
             self._backlog = []
             while True:
                 try:

@@ -10,7 +10,7 @@ Protocol (little-endian, framing in the style of the reference's
 talker protocol header, llamacpp_talker_server.py:13-27):
   request:  [u32 len][JSON {"text", "language", "streaming", "seed",
                             "max_tokens"?, "prompt_dir"?, "voice"?,
-                            "stream"?, "long"?}]
+                            "stream"?, "long"?, "priority"?}]
   (voice: a NAME from the daemon's VoiceRegistry (--voices root,
   serve/voices.py) resolved to its prompt_dir server-side — clients
   address voices without knowing server paths; "default" means the
@@ -19,7 +19,11 @@ talker protocol header, llamacpp_talker_server.py:13-27):
   through the prompt-cached prefill, batched mode through the cloned
   admission prefill (serve/batching.submit ref_codes/n_target).
   max_tokens: per-request generation cap, clamped to the engine's
-  compiled maximum. long: paragraph mode — the text splits into
+  compiled maximum. priority (batched mode): admission order among
+  waiting requests — higher admits first, FIFO within a level; with
+  --max_queue set, requests beyond the bound are rejected with the
+  structured {"error", "code": "overloaded"} envelope (HTTP: 503).
+  long: paragraph mode — the text splits into
   sentences; engine mode batches them through synthesize_long, batched
   mode submits each sentence as its own slot so they decode
   concurrently; stream mode: in engine mode the first sentence streams
@@ -58,6 +62,7 @@ import numpy as np
 
 from qwen3_tts_tpu.config import SAMPLE_RATE, SAMPLES_PER_TOKEN
 from qwen3_tts_tpu.engine.engine import TTSEngine
+from qwen3_tts_tpu.serve.batching import OverloadedError
 
 DEFAULT_SOCKET = "/tmp/qwen3_tts_tpu.sock"
 
@@ -207,14 +212,19 @@ class TTSDaemon:
                 return self._handle_engine(msg, text, mt, send_frame)
         except Exception as e:
             self.stats.record_error()
+            # typed backpressure: transports map "overloaded" to their
+            # native retryable signal (HTTP 503 + Retry-After)
+            hdr = {"error": str(e)}
+            if isinstance(e, OverloadedError):
+                hdr["code"] = "overloaded"
             if send_frame is not None:
                 try:
-                    send_frame(encode_response({"done": True,
-                                                "error": str(e)}, None))
+                    send_frame(encode_response({"done": True, **hdr},
+                                               None))
                 except OSError:
                     pass
                 return None
-            return encode_response({"error": str(e)}, None)
+            return encode_response(hdr, None)
 
     def _handle_engine(self, msg, text, mt, send_frame) -> Optional[bytes]:
         try:
@@ -389,7 +399,8 @@ class TTSDaemon:
         fut = self.batcher.submit(np.asarray(ids), int(n_text),
                                   seed=int(msg.get("seed", 0)),
                                   max_tokens=mt, on_chunk=on_chunk,
-                                  ref_codes=ref_codes, n_target=n_target)
+                                  ref_codes=ref_codes, n_target=n_target,
+                                  priority=int(msg.get("priority", 0)))
 
         def _drain(block: bool) -> int:
             sent = 0
@@ -526,15 +537,20 @@ class TTSDaemon:
                     p, prompt_dir, preloaded=preloaded)
                 futs.append(self.batcher.submit(
                     np.asarray(ids), int(n), seed=seed + i, max_tokens=mt,
-                    ref_codes=ref_codes, n_target=n_target))
-        except ValueError as e:
+                    ref_codes=ref_codes, n_target=n_target,
+                    priority=int(msg.get("priority", 0))))
+        except (ValueError, OverloadedError) as e:
             # a piece that still overflows (BPE boundary edge past the
-            # split margin): withdraw the already-submitted pieces so
-            # they don't decode for nobody, then reject
+            # split margin), or backpressure mid-paragraph: withdraw the
+            # already-submitted pieces so they don't decode for nobody,
+            # then reject (overload re-raises so handle()'s catch-all
+            # tags the structured "overloaded" code for transports)
             for f in futs:
                 r = getattr(f, "request", None)
                 if r is not None and not f.done():
                     r.cancelled = True
+            if isinstance(e, OverloadedError):
+                raise
             return _fail(str(e))
         parts_codes, parts_audio = [], []
         first_audio = None
@@ -823,6 +839,12 @@ def main(argv=None) -> int:
                         "(first-frame p95 +~1 chunk; "
                         "docs/BENCHMARKS.md depth A/B); pass 1 for "
                         "strictly earliest frame surfacing")
+    p.add_argument("--max_queue", type=int, default=0,
+                   help="Batched-mode backpressure: reject new requests "
+                        "once this many are waiting (0 = unbounded). "
+                        "Rejected requests get the structured "
+                        "'overloaded' error (HTTP tier: 503 + "
+                        "Retry-After) instead of unbounded queue wait")
     p.add_argument("--prefix_cache", type=int, default=8,
                    help="Batched-mode admission prefix LRU entries (0 "
                         "disables): repeat texts / prompt_dirs skip the "
@@ -882,7 +904,10 @@ def main(argv=None) -> int:
                                     paged=args.paged,
                                     page_size=args.page_size,
                                     pipeline_depth=args.pipeline_depth,
-                                    prefix_cache=args.prefix_cache)
+                                    prefix_cache=args.prefix_cache,
+                                    max_queue=(args.max_queue
+                                               if args.max_queue > 0
+                                               else None))
     # warm the compile caches before accepting requests — through the
     # tier that will actually serve: a batched daemon's first real
     # request otherwise pays the batcher programs' minutes-long first

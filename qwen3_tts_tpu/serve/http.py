@@ -31,8 +31,9 @@ Endpoints:
   POST /v1/audio/speech   -> OpenAI-compatible speech surface: body
       {"input": text, "voice": "default"|<prompt_dir>, "response_format":
       "wav"|"pcm", "speed": 1.0, "stream": bool} plus the non-standard
-      extensions {"language", "seed", "max_tokens", "long"} passed
-      through to the daemon. Non-stream: the complete wav/pcm bytes.
+      extensions {"language", "seed", "max_tokens", "long", "priority"}
+      passed through to the daemon. Backpressure (batched daemon with
+      max_queue): 503 + Retry-After with type "overloaded_error". Non-stream: the complete wav/pcm bytes.
       Stream: chunked raw bytes in the requested format as frames render
       (pcm only — a WAV header needs the final length). Errors use the
       OpenAI error envelope {"error": {"message", "type", "param"}}.
@@ -136,10 +137,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _openai_error(self, code: int, message: str,
                       param: Optional[str] = None,
-                      etype: str = "invalid_request_error") -> None:
-        self._json(code, {"error": {"message": message,
-                                    "type": etype,
-                                    "param": param}})
+                      etype: str = "invalid_request_error",
+                      retry_after: Optional[int] = None) -> None:
+        body = json.dumps({"error": {"message": message,
+                                     "type": etype,
+                                     "param": param}}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        if retry_after is not None:
+            self.send_header("Retry-After", str(retry_after))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _audio_speech(self) -> None:
         """OpenAI-compatible POST /v1/audio/speech (docstring above)."""
@@ -197,6 +206,12 @@ class _Handler(BaseHTTPRequestHandler):
             req["max_tokens"] = mt
         if "long" in msg:
             req["long"] = msg["long"]
+        if "priority" in msg and msg["priority"] is not None:
+            try:
+                req["priority"] = int(msg["priority"])
+            except (TypeError, ValueError):
+                return self._openai_error(400, "priority must be an int",
+                                          "priority")
         voice = msg.get("voice", "default")
         if voice not in ("default", "", None):
             if not isinstance(voice, str):
@@ -271,6 +286,12 @@ class _Handler(BaseHTTPRequestHandler):
             # CONTENT (client-fixable -> 400) or a server fault (-> 500,
             # type server_error: OpenAI SDKs treat 4xx as non-retryable)
             m = str(header["error"])
+            if header.get("code") == "overloaded":
+                # batcher backpressure: retryable, the OpenAI SDKs'
+                # overloaded_error + 503 + Retry-After contract
+                return self._openai_error(503, m, None,
+                                          etype="overloaded_error",
+                                          retry_after=1)
             if "prompt_dir" in m:
                 return self._openai_error(400, m, "voice")
             return self._openai_error(500, m, None, etype="server_error")
@@ -332,6 +353,16 @@ class _Handler(BaseHTTPRequestHandler):
         payload = self.daemon_ref.handle(raw)
         header, audio = decode_response(payload)
         if "error" in header:
+            if header.get("code") == "overloaded":
+                # backpressure (batcher max_queue): the retryable signal
+                body = json.dumps(header).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             return self._json(400, header)
         body = _wav_bytes(audio)
         self.send_response(200)

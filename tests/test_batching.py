@@ -882,3 +882,52 @@ def test_prefix_cache_cloned_and_lru_paged():
     _drain(b0, [g2])
     assert b0.prefix_hits == 0 and b0.prefix_misses == 2
     assert len(b0._prefix_lru) == 0
+
+
+def test_priority_orders_admission():
+    """Higher-priority waiting requests admit first; FIFO within a
+    level. In-flight slots are never preempted (the blocker finishes
+    untouched)."""
+    cfg = tiny_tts_config(max_tokens=8)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(cfg, params, batch_size=1, decode_chunk=4,
+                          dtype=jnp.float32)
+    ids, n = _ids("blocker")
+    blocker = b.submit(ids, n, seed=0)
+    b.step()                               # admit the blocker
+    assert b._slot_req[0] is not None
+    a = b.submit(*_ids("low a"), seed=1, priority=0)
+    hi = b.submit(*_ids("high"), seed=2, priority=5)
+    c = b.submit(*_ids("low c"), seed=3, priority=0)
+    _drain(b, [blocker, a, hi, c])
+    r = lambda f: f.request
+    assert r(hi).t_admit < r(a).t_admit, "priority 5 admits before 0"
+    assert r(a).t_admit < r(c).t_admit, "FIFO within a priority level"
+    for f in (blocker, a, hi, c):
+        codes, audio = f.result(timeout=1)
+        assert len(audio) == len(codes) * 1920
+
+
+def test_max_queue_backpressure():
+    """submit() raises OverloadedError at the max_queue bound — fast,
+    synchronous load shedding — and the batcher keeps serving what it
+    already accepted."""
+    from qwen3_tts_tpu.serve.batching import OverloadedError
+
+    cfg = tiny_tts_config(max_tokens=8)
+    params = weights_io.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    b = ContinuousBatcher(cfg, params, batch_size=1, decode_chunk=4,
+                          dtype=jnp.float32, max_queue=2)
+    f1 = b.submit(*_ids("one"), seed=1)
+    f2 = b.submit(*_ids("two"), seed=2)
+    with pytest.raises(OverloadedError, match="max_queue=2"):
+        b.submit(*_ids("three"), seed=3)
+    assert b.occupancy()["queued"] == 2
+    _drain(b, [f1, f2])
+    for f in (f1, f2):
+        codes, audio = f.result(timeout=1)
+        assert len(audio) == len(codes) * 1920
+    # the pool drained: submits are accepted again
+    f4 = b.submit(*_ids("four"), seed=4)
+    _drain(b, [f4])
+    assert f4.result(timeout=1)[0].shape[1] == 16

@@ -384,3 +384,39 @@ def test_stalled_client_times_out_without_wedging(gateway):
         s.close()
     finally:
         srv.shutdown()
+
+
+def test_overloaded_maps_to_503(gateway):
+    """Batcher backpressure (max_queue) surfaces as HTTP 503 +
+    Retry-After on both routes: the native route keeps the daemon's
+    structured {"error", "code": "overloaded"} envelope, the OpenAI
+    route uses type "overloaded_error"."""
+    from qwen3_tts_tpu.serve.batching import ContinuousBatcher
+
+    engine, _, _ = gateway
+    # max_queue=0: every submit sheds immediately — no scheduler needed
+    batcher = ContinuousBatcher(engine.cfg, engine.params, batch_size=2,
+                                decode_chunk=4, dtype=jnp.float32,
+                                max_queue=0)
+    daemon = TTSDaemon(engine, socket_path="/tmp/unused_http_503.sock",
+                       batcher=batcher)
+    srv = serve_http(daemon, host="127.0.0.1", port=0)
+    host, port = srv.server_address
+    try:
+        c = http.client.HTTPConnection(host, port, timeout=300)
+        c.request("POST", "/v1/synthesize", body=json.dumps(
+            {"text": "x", "language": "english"}).encode())
+        r = c.getresponse()
+        hdr = json.loads(r.read())
+        assert r.status == 503 and hdr["code"] == "overloaded"
+        assert r.getheader("Retry-After") == "1"
+
+        c.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "x", "language": "english"}).encode())
+        r = c.getresponse()
+        err = json.loads(r.read())["error"]
+        assert r.status == 503 and err["type"] == "overloaded_error"
+        assert r.getheader("Retry-After") == "1"
+        c.close()
+    finally:
+        srv.shutdown()

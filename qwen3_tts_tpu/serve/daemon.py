@@ -839,6 +839,17 @@ def main(argv=None) -> int:
                         "(first-frame p95 +~1 chunk; "
                         "docs/BENCHMARKS.md depth A/B); pass 1 for "
                         "strictly earliest frame surfacing")
+    p.add_argument("--tp", type=int, default=0, metavar="N",
+                   help="Batched-mode tensor parallelism: run the batcher "
+                        "over a dp x tp device mesh (GSPMD specs from "
+                        "parallel/mesh.py; tp groups never cross a host — "
+                        "multihost.make_serving_mesh). Requires --batch. "
+                        "0 (default) = single device")
+    p.add_argument("--dp", type=int, default=0, metavar="N",
+                   help="Batched-mode data-parallel mesh extent (slots "
+                        "shard over dp; --batch must divide by it). With "
+                        "--tp alone, dp spans every local device "
+                        "(n_devices // tp). Requires --batch")
     p.add_argument("--max_queue", type=int, default=0,
                    help="Batched-mode backpressure: reject new requests "
                         "once this many are waiting (0 = unbounded). "
@@ -890,6 +901,22 @@ def main(argv=None) -> int:
         print("--quantize ignored with --batch > 0 (bf16 is faster "
               "batched; docs/BENCHMARKS.md)", flush=True)
         quantize = None
+    mesh = None
+    if args.tp > 0 or args.dp > 0:
+        if args.batch <= 0:
+            p.error("--dp/--tp shard the batched tier; pass --batch N too")
+        from qwen3_tts_tpu.parallel import multihost as mh
+        # QWEN3_TTS_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID env makes
+        # this a multi-process (DCN) daemon; must run before the first
+        # backend touch (jax.devices below initializes it)
+        mh.init_distributed()
+        mesh = mh.make_serving_mesh(tp=args.tp or 1,
+                                    dp=args.dp if args.dp > 0 else None)
+        if args.batch % mesh.shape["dp"]:
+            p.error(f"--batch {args.batch} not divisible by mesh dp="
+                    f"{mesh.shape['dp']} (slots shard over dp)")
+        print(f"mesh dp{mesh.shape['dp']}xtp{mesh.shape['tp']} over "
+              f"{mesh.devices.size} device(s)", flush=True)
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        quantize=quantize)
     batcher = None
@@ -905,6 +932,7 @@ def main(argv=None) -> int:
                                     page_size=args.page_size,
                                     pipeline_depth=args.pipeline_depth,
                                     prefix_cache=args.prefix_cache,
+                                    mesh=mesh,
                                     max_queue=(args.max_queue
                                                if args.max_queue > 0
                                                else None))

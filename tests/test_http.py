@@ -420,3 +420,43 @@ def test_overloaded_maps_to_503(gateway):
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_http_rejects_oversized_content_length(gateway):
+    """First-party ingest bound (round-4 VERDICT Weak #4): both POST
+    routes must reject a Content-Length past the cap with 413 BEFORE
+    reading the body (the declared size alone triggers the rejection),
+    and invalid lengths with 400."""
+    from qwen3_tts_tpu.serve.http import MAX_BODY_BYTES
+
+    for route in ("/v1/synthesize", "/v1/audio/speech"):
+        c = _conn(gateway)
+        c.putrequest("POST", route)
+        c.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        c.endheaders()          # never send the body
+        r = c.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 413, (route, r.status, body)
+        err = body["error"]
+        msg = err["message"] if isinstance(err, dict) else err
+        assert "too large" in msg
+        c.close()
+
+    # malformed Content-Length -> 400, not a crash
+    c = _conn(gateway)
+    c.putrequest("POST", "/v1/synthesize")
+    c.putheader("Content-Length", "banana")
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
+    c.close()
+
+    # gateway still serves real requests afterwards
+    c = _conn(gateway)
+    c.request("POST", "/v1/synthesize", body=json.dumps(
+        {"text": "after 413", "language": "english", "seed": 1}).encode())
+    r = c.getresponse()
+    assert r.status == 200
+    r.read()
+    c.close()

@@ -62,7 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "streaming N ways on a multi-chip host. "
                         "Incompatible with --quantize int8 (the fused "
                         "int8 talker layout is single-chip; int8-cp "
-                        "shards fine). 0 (default) = single device")
+                        "shards fine). 0 (default) = no mesh; 1 = a "
+                        "1-device mesh (same semantics as the daemon's "
+                        "--tp 1)")
     return p
 
 
@@ -122,7 +124,10 @@ def main(argv=None) -> int:
     from qwen3_tts_tpu.utils.profiling import device_trace
 
     mesh = None
-    if args.tp > 1:
+    if args.tp > 0:
+        # > 0, not > 1: the daemon treats --tp 1 as "build a (1-device)
+        # mesh", and a silent no-op here also skipped the int8 check —
+        # same flag, divergent semantics (round-4 ADVICE). Aligned.
         if args.quantize == "int8":
             print("error: --tp requires --quantize int8-cp or none "
                   "(the fused int8 talker layout is single-chip)",

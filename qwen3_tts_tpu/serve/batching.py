@@ -62,7 +62,7 @@ class _Request:
         # feeds the admission pos-mirror update (int() on the device
         # scalar would be a blocking d2h round trip per admission on the
         # scheduler thread, exactly what the mirror design eliminates)
-        self.n_text = jnp.int32(n_text)
+        self.n_text = np.int32(n_text)
         self.n_text_host = int(n_text)
         self.seed = seed
         self.max_tokens = max_tokens
@@ -321,6 +321,27 @@ class ContinuousBatcher:
                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
         else:
             self._state_shardings = None
+        # multi-process (DCN) lockstep mode: when the mesh spans >1
+        # process, every process runs this scheduler with IDENTICAL
+        # submissions in identical order (the lockstep frontend's
+        # contract — tests/dcn_serve_worker.py), so all dispatch the same
+        # global program sequence. Per chunk the only cross-process
+        # traffic is the tiny replicated status gather (_fetch_status) —
+        # the executable form of "DCN carries only admission/harvest"
+        # (docs/ARCHITECTURE.md). Each process vocodes and resolves ONLY
+        # its host_slot_range slice; peer-owned slots resolve to the
+        # (None, None) remote marker.
+        self._multiproc = (
+            mesh is not None
+            and len({d.process_index for d in mesh.devices.flat}) > 1)
+        self._host_slots = (0, batch_size)
+        if self._multiproc:
+            from qwen3_tts_tpu.parallel import multihost as mh
+            self._host_slots = mh.host_slot_range(mesh, batch_size)
+            rep = jax.sharding.NamedSharding(mesh,
+                                             jax.sharding.PartitionSpec())
+            self._gather_status_fn = jax.jit(
+                lambda d, n, p: (d, n, p), out_shardings=(rep, rep, rep))
         self.params = params
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
@@ -614,7 +635,7 @@ class ContinuousBatcher:
                         f"server overloaded: {depth} requests waiting "
                         f"(max_queue={self.max_queue}); retry later")
             self._order += 1
-            req = _Request(jnp.asarray(text_ids, jnp.int32), n_text,
+            req = _Request(np.asarray(text_ids, np.int32), n_text,
                            seed, max_tokens, on_chunk,
                            ref_codes=(None if ref_codes is None
                                       else np.asarray(ref_codes, np.int32)),
@@ -728,7 +749,7 @@ class ContinuousBatcher:
             mask[abandoned] = True
             try:
                 self._state = self._mark_done(self._state,
-                                              jnp.asarray(mask))
+                                              mask)
             except Exception as e:
                 # a dead device/tunnel must not abort stop() mid-cleanup:
                 # host-side teardown below still has to run so a later
@@ -744,7 +765,7 @@ class ContinuousBatcher:
                 if self._slot_req[slot] is not None and self._slot_pages[slot]:
                     try:
                         self._state = self._release(self._state,
-                                                    jnp.int32(slot))
+                                                    np.int32(slot))
                     except Exception:
                         # release failed: the slot's table row may still
                         # point at these pages — recycling them would hand
@@ -765,6 +786,44 @@ class ContinuousBatcher:
             self._closed = False
 
     # -- scheduler ----------------------------------------------------------
+
+    def _fetch_status(self, state) -> tuple:
+        """(done, n_codes, pos) as caller-owned host arrays — ONE round
+        trip. Multi-process: a replicated gather over the mesh (the only
+        per-chunk cross-process collective in serving), read from the
+        local replica; both schedulers then see identical mirrors and
+        make identical (lockstep) decisions."""
+        if self._multiproc:
+            d, n, p = self._gather_status_fn(state.done, state.n_codes,
+                                             state.pos)
+            return tuple(np.asarray(x.addressable_data(0)).copy()
+                         for x in (d, n, p))
+        return tuple(np.asarray(a).copy() for a in jax.device_get(
+            (state.done, state.n_codes, state.pos)))
+
+    def _owns(self, slot: int) -> bool:
+        """Does this process hold ``slot``'s KV shard (host_slot_range)?
+        Single-process: always."""
+        lo, hi = self._host_slots
+        return lo <= int(slot) < hi
+
+    def _codes_row(self, state, slot: int):
+        """One slot's (T, 16) codes as a LOCAL device value the vocoder
+        programs can consume. Single-process: the device slice (keeps the
+        chained-dispatch path — no fetch). Multi-process: the slot's rows
+        live on this host's dp shard (callers only pass owned slots);
+        read the local shard and re-host."""
+        if not self._multiproc:
+            return state.codes[slot]
+        for sh in state.codes.addressable_shards:
+            sl = sh.index[0]
+            lo = sl.start or 0
+            hi = (sl.stop if sl.stop is not None
+                  else state.codes.shape[0])
+            if lo <= slot < hi:
+                return jnp.asarray(np.asarray(sh.data)[slot - lo])
+        raise RuntimeError(f"slot {slot} has no local shard "
+                           f"(host slots {self._host_slots})")
 
     def _cloned_inputs(self, req: "_Request", cap: int):
         """Bucket a cloning request's reference frames against a prefix
@@ -858,7 +917,7 @@ class ContinuousBatcher:
             return frozenset()
         mask = np.zeros((self.batch_size,), bool)
         mask[victims] = True
-        self._state = self._mark_done(self._state, jnp.asarray(mask))
+        self._state = self._mark_done(self._state, mask)
         for s in victims:
             r = self._slot_req[s]
             if not r.future.done():
@@ -935,8 +994,8 @@ class ContinuousBatcher:
                                 self.params["talker"],
                                 self.params["code_predictor"]["codec_embs"],
                                 req.text_ids, req.n_text,
-                                jnp.asarray(ref_pad), jnp.int32(n_ref))
-                            n_pace = jnp.int32(req.n_target)
+                                np.asarray(ref_pad), np.int32(n_ref))
+                            n_pace = np.int32(req.n_target)
                         else:
                             hidden, kv, plen = self._prefix_result(
                                 (ids_b, req.n_text_host, S, False),
@@ -944,9 +1003,9 @@ class ContinuousBatcher:
                                 req.text_ids, req.n_text)
                             n_pace = req.n_text
                         self._state = self._insert_assembled(
-                            self._state, jnp.int32(slot), hidden, kv,
+                            self._state, np.int32(slot), hidden, kv,
                             plen, n_pace, smp.host_prng_key(req.seed),
-                            jnp.int32(self._req_budget(req)))
+                            np.int32(self._req_budget(req)))
                 except Exception as e:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -1025,8 +1084,8 @@ class ContinuousBatcher:
                 fn, self.params["talker"],
                 self.params["code_predictor"]["codec_embs"],
                 req.text_ids, req.n_text,
-                jnp.asarray(ref_pad), jnp.int32(n_ref))
-            n_pace = jnp.int32(req.n_target)
+                np.asarray(ref_pad), np.int32(n_ref))
+            n_pace = np.int32(req.n_target)
         else:
             hidden, kv, plen = self._prefix_result(
                 (ids_b, req.n_text_host, s_pre, False),
@@ -1045,10 +1104,10 @@ class ContinuousBatcher:
         # masked to rows <= pos, and the row at pos is written first).
         try:
             self._state = self._insert_assembled_paged(
-                self._state, jnp.int32(slot), hidden, kv, plen, n_pace,
+                self._state, np.int32(slot), hidden, kv, plen, n_pace,
                 smp.host_prng_key(req.seed),
-                jnp.int32(self._req_budget(req)),
-                jnp.asarray(table_row), jnp.int32(need * psz),
+                np.int32(self._req_budget(req)),
+                table_row, np.int32(need * psz),
                 n_rows=s_pre)
         except BaseException:
             # the insert failed before the pages were recorded in
@@ -1094,8 +1153,7 @@ class ContinuousBatcher:
             for j, (s, i, p) in enumerate(grows):
                 slots[j], idxs[j], pages[j], valid[j] = s, i, p, 1
             self._state = self._grow_many(
-                self._state, jnp.asarray(slots), jnp.asarray(idxs),
-                jnp.asarray(pages), jnp.asarray(valid))
+                self._state, slots, idxs, pages, valid)
 
     # minimum new tokens per streaming emission while a slot is live
     # (the final emission always flushes). Emissions feed the INCREMENTAL
@@ -1131,6 +1189,8 @@ class ContinuousBatcher:
             req = self._slot_req[slot]
             if req is None or req.on_chunk is None or slot in skip:
                 continue
+            if not self._owns(slot):
+                continue   # multi-process: the owning host streams it
             if req.stream_error is not None:
                 # a failed segment fetch left a hole that cannot be
                 # re-rendered — emitting later segments would stream audio
@@ -1165,13 +1225,14 @@ class ContinuousBatcher:
                     s = max(s for s in self.STREAM_STEP_SIZES if s <= avail)
                     plan.append(s)
                     avail -= s
+            row = self._codes_row(state, slot) if plan else None
             for c in plan:
                 primed = req.voc_stream is not None
                 if not primed:
                     req.voc_stream = vstream.init_stream_state(
                         self.cfg.vocoder)
                 fut, req.voc_stream = self._stream_step_fn(c, primed)(
-                    self.params["vocoder"], state.codes[slot],
+                    self.params["vocoder"], row,
                     jnp.int32(req.rendered), req.voc_stream)
                 out_len = c * U - (0 if primed else crop)
                 keep = out_len
@@ -1195,8 +1256,7 @@ class ContinuousBatcher:
         # for free and the (done, pos) pair is stashed for the next
         # step()'s admission pass (nothing between here and there mutates
         # them on device: _release/_grow_many only touch kv table state)
-        done, n_codes, pos = (np.asarray(a) for a in jax.device_get(
-            (state.done, state.n_codes, state.pos)))
+        done, n_codes, pos = self._fetch_status(state)
         m_done, m_pos = done.copy(), pos.copy()
         if skip and local_status is not None:
             ld, lp = local_status
@@ -1227,21 +1287,25 @@ class ContinuousBatcher:
         for slot in finished_slots:
             req = self._slot_req[slot]
             n = int(n_codes[slot])
-            if req.on_chunk is None and 0 < n <= 256:
+            if (req.on_chunk is None and 0 < n <= 256
+                    and self._owns(slot)):
                 voc_futs[slot] = self._voc_slot(
-                    self.params["vocoder"], state.codes[slot],
+                    self.params["vocoder"], self._codes_row(state, slot),
                     W=voc.voc_bucket(n + 1))
         # start every pending d2h transfer together (slot codes + all
         # dispatched windows): the fetch loops below then drain one
-        # overlapped burst instead of paying a round trip per window
-        if finished_slots:
+        # overlapped burst instead of paying a round trip per window.
+        # (Multi-process: the global codes array is not fully
+        # addressable — owned slots were already re-hosted per row by
+        # _codes_row above.)
+        if finished_slots and not self._multiproc:
             state.codes.copy_to_host_async()
         for _, fut_, _ in stream_jobs:
             fut_.copy_to_host_async()
         for fut_ in voc_futs.values():
             fut_.copy_to_host_async()
         codes_all = (np.asarray(jax.device_get(state.codes))
-                     if finished_slots else None)
+                     if finished_slots and not self._multiproc else None)
         for req, fut, keep in stream_jobs:
             try:
                 seg = np.asarray(fut)[0][:keep]
@@ -1259,8 +1323,27 @@ class ContinuousBatcher:
         finished = 0
         for slot in finished_slots:
             req = self._slot_req[slot]
+            if self._multiproc and not self._owns(slot):
+                # peer-owned slot: the owning host vocodes and serves its
+                # client; here it resolves to the remote marker so the
+                # lockstep frontend's local Future never hangs. Pages /
+                # device bookkeeping below still run (identical global
+                # dispatch sequence on every process).
+                req.t_done = time.perf_counter()
+                if not req.future.done():
+                    req.future.set_result((None, None))
+                self._slot_req[slot] = None
+                if self.paged:
+                    self._state = self._release(self._state,
+                                                np.int32(slot))
+                    self._free_by_group[self._slot_group(slot)].extend(
+                        self._slot_pages[slot])
+                    self._slot_pages[slot] = []
+                finished += 1
+                continue
             n = int(n_codes[slot])
-            codes = codes_all[slot][:n]
+            codes = (codes_all[slot][:n] if codes_all is not None
+                     else np.asarray(self._codes_row(state, slot))[:n])
             try:
                 # same audio as the CLI/engine for the same codes: the
                 # exact bucketed (device-windowed) / left-context path
@@ -1294,7 +1377,7 @@ class ContinuousBatcher:
                 req.future.set_exception(e)
             self._slot_req[slot] = None
             if self.paged:
-                self._state = self._release(self._state, jnp.int32(slot))
+                self._state = self._release(self._state, np.int32(slot))
                 self._free_by_group[self._slot_group(slot)].extend(
                     self._slot_pages[slot])
                 self._slot_pages[slot] = []
@@ -1318,8 +1401,7 @@ class ContinuousBatcher:
             done, pos = self._status_mirror
             self._status_mirror = None
         else:
-            done, pos = (np.asarray(a).copy() for a in jax.device_get(
-                (self._state.done, self._state.pos)))
+            done, _, pos = self._fetch_status(self._state)
         cancelled = self._evict_cancelled(done)
         admitted = self._admit(done, pos)
         busy = any(r is not None for r in self._slot_req)
@@ -1421,7 +1503,7 @@ class ContinuousBatcher:
             mask[inflight] = True
             try:
                 self._state = self._mark_done(self._state,
-                                              jnp.asarray(mask))
+                                              mask)
             except Exception:
                 pass
         if drain_queue:

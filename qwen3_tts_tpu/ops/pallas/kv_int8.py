@@ -49,10 +49,10 @@ def _attn_kernel_kv8(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     i = pl.program_id(0)
     pos = pos_ref[i]
     q = q_ref[0].astype(jnp.float32)                     # (G, Dh)
-    ks = ks_ref[0].astype(jnp.float32)                   # (S,)
-    vs = vs_ref[0].astype(jnp.float32)                   # (S,)
-    k = kq_ref[0].astype(jnp.float32) * ks[:, None]      # (S, Dh) dequant
-    v = vq_ref[0].astype(jnp.float32) * vs[:, None]
+    ks = ks_ref[0].astype(jnp.float32)                   # (S, 1)
+    vs = vs_ref[0].astype(jnp.float32)                   # (S, 1)
+    k = kq_ref[0].astype(jnp.float32) * ks               # (S, Dh) dequant
+    v = vq_ref[0].astype(jnp.float32) * vs
     dh = q.shape[-1]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     s = s * jax.lax.rsqrt(jnp.float32(dh))
@@ -87,8 +87,11 @@ def decode_attention_kv_int8(q: jax.Array,
     qg = q.reshape(B, Hkv, G, Dh).reshape(B * Hkv, G, Dh)
     kqg = kq.reshape(B * Hkv, S, Dh)
     vqg = vq.reshape(B * Hkv, S, Dh)
-    ksg = ks.reshape(B * Hkv, S)
-    vsg = vs.reshape(B * Hkv, S)
+    # scales ride as (rows, S, 1): Mosaic requires the last two block
+    # dims be /8- and /128-divisible OR equal to the array dims — a
+    # (1, S) block fails the first-dim rule, (1, S, 1) satisfies both
+    ksg = ks.reshape(B * Hkv, S, 1)
+    vsg = vs.reshape(B * Hkv, S, 1)
     pos_rep = jnp.repeat(pos.astype(jnp.int32), Hkv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -99,11 +102,11 @@ def decode_attention_kv_int8(q: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Dh), lambda i, p_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i, p_: (i, 0),
+            pl.BlockSpec((1, S, 1), lambda i, p_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, Dh), lambda i, p_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i, p_: (i, 0),
+            pl.BlockSpec((1, S, 1), lambda i, p_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, G, Dh), lambda i, p_: (i, 0, 0),

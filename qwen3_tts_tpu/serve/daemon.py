@@ -835,7 +835,11 @@ def main(argv=None) -> int:
                    help="Use the pure-Python accept loop")
     p.add_argument("--batch", type=int, default=0,
                    help="Enable continuous batching with N slots "
-                        "(concurrent requests decode together)")
+                        "(concurrent requests decode together). One-chip "
+                        "throughput peaks at 32 (the measured knee: 48.9 "
+                        "audio-s/s; 64 is slower AND triples first-token "
+                        "latency); use 8-16 when admission latency "
+                        "matters (docs/BENCHMARKS.md 'serving knee')")
     p.add_argument("--decode_chunk", type=int, default=32,
                    help="Batched-mode decode steps per scheduler "
                         "iteration: larger = more throughput (48: 17.7 "

@@ -6,11 +6,15 @@ decode at the 200-token cap and ~quadratic for long paged streams.  This
 module carries the decoder's *state* across emissions instead, so each
 streamed chunk costs O(new tokens) regardless of position, while staying
 sample-exact against ``vocoder.decode_raw`` up to GEMM reassociation
-(float <= 1e-6 absolute; wire int16 within +-1 LSB on < 0.01% of
-samples — XLA reassociates dot reductions across operand shapes, so
-attention over [KV-window + chunk] keys differs from the full-sequence
-forward at ~1e-9 in the final audio; the conv path alone is bitwise.
-Contract asserted in tests/test_vocoder_stream.py):
+(float <= 1e-6 absolute; wire int16 NEVER more than +-1 LSB off — XLA
+reassociates dot reductions across operand shapes, so attention over
+[KV-window + chunk] keys differs from the full-sequence forward at
+~1e-9 in the final audio; the conv path alone is bitwise. The differing
+FRACTION depends on the backend's f32 matmul precision: < 0.01% of
+samples on CPU (true f32), ~3.6% on TPU (default f32 matmul precision
+is bf16 — measured at real geometry, 2026-08); both are
+sub-quantization noise. Contract asserted in
+tests/test_vocoder_stream.py):
 
 - **pre-transformer**: a rolling per-layer KV window of the last
   ``sliding_window - 1`` frames (rotated keys at absolute positions).
@@ -257,3 +261,69 @@ def stream_step(params: Params, state: State, codes: jax.Array,
     x, ns["out_tail"] = _conv_stream(x, state["out_tail"],
                                      params["out_w"], params["out_b"])
     return jnp.clip(x[:, :, 0], -1.0, 1.0), ns
+
+
+# ---------------------------------------------------------------------------
+# Shared serving-tier step programs
+# ---------------------------------------------------------------------------
+
+class StreamStepper:
+    """Jitted fixed-size incremental-stream steps, shared by the serving
+    tiers (the batcher's streaming emissions and, since r5, the engine's
+    streaming path — VERDICT r4 #8 unification).
+
+    Arbitrary emission extents decompose into ``SIZES`` quanta so one
+    process compiles at most ``len(SIZES) * 2`` step programs per
+    geometry. Each step slices ``c`` code frames from a slot's codes row
+    at a runtime ``start`` (the row is zero-extended first, so a flush
+    step may read past the utterance end — the zero-code lookahead
+    contract of ``synthesize_exact``), advances the stream state, and
+    returns int16 samples (converted ON DEVICE — halves the d2h)."""
+
+    SIZES = (64, 32, 16, 8)
+
+    def __init__(self, cfg_v: VocoderConfig):
+        self.cfg = cfg_v
+        self._fns = {}
+
+    def step_fn(self, c: int, primed: bool):
+        key = (c, primed)
+        fn = self._fns.get(key)
+        if fn is None:
+            cfg_v = self.cfg
+            pad = max(self.SIZES)
+
+            def step(vp, codes_row, start, st):
+                padded = jnp.concatenate(
+                    [codes_row.astype(jnp.int32),
+                     jnp.zeros((pad, codes_row.shape[-1]), jnp.int32)])
+                chunk = jax.lax.dynamic_slice_in_dim(padded, start, c,
+                                                     axis=0)[None]
+                audio, st2 = stream_step(vp, st, chunk, cfg_v,
+                                         primed=primed)
+                return voc.to_int16_device(audio), st2
+
+            fn = self._fns[key] = jax.jit(step)
+        return fn
+
+    def plan_quanta(self, n_frames: int, overshoot: bool):
+        """Quanta covering ``n_frames``: with ``overshoot`` the last
+        quantum may read past the end (zero rows — used for the final
+        flush of a finished utterance); without it the sub-quantum
+        remainder is deferred until more frames are final."""
+        plan = []
+        if overshoot:
+            need = n_frames
+            while need > 0:
+                s = min((s for s in self.SIZES if s >= need),
+                        default=max(self.SIZES))
+                plan.append(s)
+                need -= s
+        else:
+            avail = n_frames
+            floor = min(self.SIZES)
+            while avail >= floor:
+                s = max(s for s in self.SIZES if s <= avail)
+                plan.append(s)
+                avail -= s
+        return plan

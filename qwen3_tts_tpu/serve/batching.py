@@ -547,40 +547,25 @@ class ContinuousBatcher:
                            cfg.vocoder))
 
         self._voc_slot = jax.jit(_voc_slot_fn, static_argnames=("W",))
-        # incremental streaming vocoder step programs, keyed by
-        # (chunk_frames, primed) — built lazily (_stream_step_fn)
-        self._stream_steps = {}
+        # incremental streaming vocoder step programs: the shared
+        # fixed-size stepper (models/vocoder_stream.StreamStepper — also
+        # the engine streaming path's programs since r5, so both tiers
+        # compile the identical step HLO once per geometry)
+        self._stepper = vstream.StreamStepper(cfg.vocoder)
 
     # fixed streaming-step chunk sizes: arbitrary emission extents are
     # decomposed greedily into these, so the whole serving lifetime uses
     # at most len(sizes) x 2 compiled programs per geometry
-    STREAM_STEP_SIZES = (64, 32, 16, 8)
+    STREAM_STEP_SIZES = vstream.StreamStepper.SIZES
 
     def _stream_step_fn(self, c: int, primed: bool):
-        """Jitted incremental vocoder step: slice ``c`` code frames from a
-        slot's codes row at a runtime ``start``, advance the stream state,
-        return int16 samples. The row is zero-extended before the slice so
-        a flush step may read past the utterance end (zero-code lookahead
-        — the synthesize_exact contract) without dynamic_slice clamping
-        into real rows."""
-        key = (c, primed)
-        fn = self._stream_steps.get(key)
-        if fn is None:
-            cfg_v = self.cfg.vocoder
-            pad = max(self.STREAM_STEP_SIZES)
-
-            def step(vp, codes_row, start, st):
-                padded = jnp.concatenate(
-                    [codes_row.astype(jnp.int32),
-                     jnp.zeros((pad, codes_row.shape[-1]), jnp.int32)])
-                chunk = jax.lax.dynamic_slice_in_dim(padded, start, c,
-                                                     axis=0)[None]
-                audio, st2 = vstream.stream_step(vp, st, chunk, cfg_v,
-                                                 primed=primed)
-                return voc.to_int16_device(audio), st2
-
-            fn = self._stream_steps[key] = jax.jit(step)
-        return fn
+        """Jitted incremental vocoder step (shared StreamStepper): slice
+        ``c`` code frames from a slot's codes row at a runtime ``start``,
+        advance the stream state, return int16 samples. The row is
+        zero-extended before the slice so a flush step may read past the
+        utterance end (zero-code lookahead — the synthesize_exact
+        contract)."""
+        return self._stepper.step_fn(c, primed)
 
     # -- public API ---------------------------------------------------------
 

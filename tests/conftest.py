@@ -48,4 +48,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   machine_cache_dir(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__)))))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist EVERY compile (not just >= 1 s ones): the full suite has twice
+# died with a segfault INSIDE XLA:CPU's backend_compile (jax 0.9.0,
+# single-threaded, nondeterministic — r4's two crashes and one r5 warm
+# run; the same programs compile fine in isolation and in other full
+# runs). The one lever that removes the exposure is not compiling at
+# all: with sub-second programs persisted too, a warm run deserializes
+# nearly every program instead of re-entering the crashing compiler.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -61,7 +61,7 @@ def main() -> None:
         os.environ.get("QWEN3_TTS_TEST_CACHE_DIR") or
         machine_cache_dir(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     assert mh.init_distributed(), "QWEN3_TTS_* env must trigger init"
     pid = jax.process_index()

@@ -121,15 +121,21 @@ def main() -> None:
             b.step()
         assert all(f.done() for f in futs), "scheduler stalled"
 
-        exp = np.load(os.environ["QWEN3_TTS_EXPECTED"])
+        # bit-parity vs the parent's single-process reference when given
+        # (the pytest parent passes QWEN3_TTS_EXPECTED); the driver's
+        # dryrun leg runs without it and checks structure/drain only
+        exp_path = os.environ.get("QWEN3_TTS_EXPECTED")
+        exp = np.load(exp_path) if exp_path else None
         owned = []
         for i, f in enumerate(futs):
             codes, audio = f.result(timeout=1)
             if codes is None:
                 continue           # peer-owned slot (remote marker)
             owned.append(i)
-            np.testing.assert_array_equal(codes, exp[f"codes{i}"])
-            np.testing.assert_array_equal(audio, exp[f"audio{i}"])
+            assert len(audio) == len(codes) * 1920
+            if exp is not None:
+                np.testing.assert_array_equal(codes, exp[f"codes{i}"])
+                np.testing.assert_array_equal(audio, exp[f"audio{i}"])
             if i in segs:
                 assert segs[i], "owned streaming request emitted nothing"
                 np.testing.assert_array_equal(np.concatenate(segs[i]),

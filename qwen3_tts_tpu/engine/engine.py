@@ -116,9 +116,14 @@ def _enable_compile_cache() -> None:
     XLA:CPU compile segfault (every full run re-compiled the same
     sub-second serving programs instead of loading them)."""
     try:
+        cache = os.environ.get("QWEN3_TTS_CACHE_DIR")
+        if cache in ("off", "none", "0"):
+            return   # persistent caching forbidden (the TEST suite: five
+            # of eight r5 full runs crashed inside XLA:CPU's AOT
+            # compile/deserialize machinery when cached CPU executables
+            # were in play — tests/conftest.py has the full story)
         if jax.config.jax_compilation_cache_dir:
             return   # caller/conftest already pinned a cache — keep it
-        cache = os.environ.get("QWEN3_TTS_CACHE_DIR")
         if not cache:
             repo = os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))

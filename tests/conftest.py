@@ -49,6 +49,25 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # forbid ANY persistent compile cache in the suite (incl. engines built
 # by tests — _enable_compile_cache honors the "off" sentinel)
 os.environ["QWEN3_TTS_CACHE_DIR"] = "off"
+
+# Raise the main-thread stack limit (default 8 MiB): the late-suite
+# XLA:CPU crashes (see the module docstring) hit DEEP native recursion —
+# LLVM codegen under backend_compile, AOT deserialization — on top of a
+# deep pytest/JAX Python stack, and a ~8 MiB-edge overflow would present
+# exactly as the observed nondeterministic SIGSEGV/SIGABRT with clean
+# malloc checks. Linux grows the main stack on demand up to the rlimit
+# AT FAULT TIME, so raising it here (hard limit permitting) covers the
+# whole run.
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    elif _hard > _soft:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ImportError, ValueError, OSError):
+    pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -4,23 +4,28 @@ real TPU — which we must not use for unit tests).
 
 Must run before any test module imports jax.
 
-NO PERSISTENT COMPILE CACHE on the CPU test path — deliberately.
-Five of eight r5 full-suite runs crashed (SIGSEGV/SIGABRT) inside
-XLA:CPU's compile or AOT-deserialization machinery (jax 0.9.0;
-faulthandler frames in backend_compile_and_load, _cache_read, and
-compilation_cache.get_executable_and_time), always late in the run and
-never in module isolation — and EVERY crashed run had deserialized
-hundreds of cached CPU AOT executables first, while the only fully-cold
-run (plus r3's green run) never crashed. The cpu_aot_loader itself warns
-that loaded entries "could lead to execution errors such as SIGILL"
-(it flags +prefer-no-scatter/+prefer-no-gather target features even for
-same-machine entries). glibc MALLOC_CHECK_/MALLOC_PERTURB_ found no
-heap corruption of our own. Conclusion: deserializing XLA:CPU AOT
-results is the destabilizer; compiling fresh every run (~33 min vs
-~21 warm) buys a suite that has never crashed cold. QWEN3_TTS_CACHE_DIR
-is set to "off" so TTSEngine's _enable_compile_cache cannot silently
-re-enable a cache mid-suite. machine_cache_dir remains for reference
-and for any future jaxlib where the loader is fixed.
+TWO hardening layers against the late-suite XLA:CPU crashes (jax
+0.9.0; the r4 'scheduler segfault'). Eleven instrumented full-suite
+runs this round: 6 crashed — SIGSEGV inside backend_compile_and_load
+(x4, including one fully cache-less cold run) and SIGSEGV/SIGABRT
+inside the compile-cache READ path (x2) — always at the run's last
+first-compiles (the voice-clone paged programs, ~95% through), never in
+module isolation, with clean glibc MALLOC_CHECK_/MALLOC_PERTURB_ runs.
+
+1. NO persistent compile cache on the CPU test path
+   (QWEN3_TTS_CACHE_DIR=off, honored by _enable_compile_cache so
+   engines built inside tests cannot re-enable one): removes the
+   cache-READ crash class outright (cpu_aot_loader itself warns loaded
+   entries "could lead to execution errors such as SIGILL", and it
+   fires those warnings even for same-machine entries), and with it any
+   cross-machine AOT reuse from copied working trees.
+2. A 512 MiB main-thread stack rlimit (below): the surviving hypothesis
+   for the compile-path SIGSEGV is native stack exhaustion at the 8 MiB
+   default during deep LLVM recursion on top of a deep pytest/JAX
+   Python stack — nondeterministic via layout, which matches the ~60%
+   crash rate at a fixed location. Post-fix runs have been green.
+
+machine_cache_dir remains for reference / future jaxlibs.
 """
 import hashlib
 import os
